@@ -1,0 +1,83 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.state.StateStore
+
+/** Synchronous label propagation (community detection).
+  *
+  * Per superstep every vertex adopts the MODE of its neighbors' labels with
+  * a deterministic tie-break (smallest label wins) — determinism is
+  * non-negotiable (north rule: exact label agreement across `local[8]` and
+  * `local[32]`), so no randomized tie-breaking or async order sensitivity.
+  * Isolated vertices keep their own label. Synchronous LP can oscillate on
+  * bipartite-ish structures, so the loop stops at `maxIter` even when not
+  * stable — again deterministically.
+  *
+  * Shape per superstep: groupBy(dst, label).count → per-dst argmax via a
+  * window ordered (count desc, label asc). The count is algebraic (partial
+  * agg absorbs hub fan-in); the window partitions by vertex, whose
+  * cardinality is |V| — no global sort.
+  */
+final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
+
+  override def name: String = "labelprop"
+
+  override def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+                   store: Option[StateStore] = None): AlgoResult = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .persist()
+    und.count()
+
+    var state = vertices.select(col("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true).persist()
+    var it = 0
+    var changed = Long.MaxValue
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
+
+    while (it < maxIter && changed > 0) {
+      val t0 = System.nanoTime()
+      val next = step(und, state)
+      val nextChk = next.localCheckpoint(true)
+      val agg = nextChk.agg(
+        sum(when(col("newLabel") =!= col("label"), 1L).otherwise(0L)).as("changed"),
+        count(lit(1)).as("rows")).head()
+      changed = agg.getLong(0)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+
+      it += 1
+      val m = SuperstepMetrics(it, wallMs, agg.getLong(1), 0.0, 0.0, changed)
+      metrics += m
+      val newState = nextChk.select(col("id"), col("newLabel").as("label"))
+      val prev = state
+      state = (store match {
+        case Some(s) => s.commit(spark, name, it, newState, 0.0, 0.0, changed, wallMs)
+        case None => newState
+      }).persist()
+      prev.unpersist()
+    }
+
+    und.unpersist()
+    AlgoResult(state, it, metrics.toSeq)
+  }
+
+  /** One synchronous LP superstep: (id, label, newLabel). Exposed for the
+    * single-step DuckDB-oracle query. */
+  def step(und: DataFrame, state: DataFrame): DataFrame = {
+    val nbrLabels = und.join(state, und("src") === state("id"))
+      .select(und("dst").as("id"), col("label"))
+    val counts = nbrLabels.groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("id")).orderBy(col("n").desc, col("label").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("label").as("modeLabel"))
+    state.join(mode, Seq("id"), "left_outer")
+      .select(col("id"), col("label"),
+        coalesce(col("modeLabel"), col("label")).as("newLabel"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All are shuffle-shaped the way they must be
+  * at 100 TB: exact dedup is a single hash groupBy; the near-dup families
+  * NEVER do an all-pairs join — candidates come from LSH bucket self-joins
+  * (band hash / simhash chunk equality), and only candidates pay the exact
+  * verification cost. The reference's analogous pattern is its safe-update
+  * classification: a cheap signature filter in front of expensive search
+  * (ParaCOSM parallel_graphflow.cpp:1990-2016).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup keeper list: one representative (min doc_id) per canonical
+    * text fingerprint, plus the duplicate count. One algebraic groupBy —
+    * partial aggregation absorbs any hot fingerprint. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Documents surviving exact dedup (the keepers). */
+  def exactKeepers(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingle table: (doc_id, shingle) distinct. n=1 gives token
+    * sets (the SQL-oracle-friendly case); n≥2 gives true shingles. */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val sh =
+      if (n == 1) explode(toks).as("shingle")
+      else explode(expr(
+        s"""transform(sequence(0, greatest(size(split(regexp_replace(trim($textCol),
+           |'\\\\s+', ' '), ' ')) - $n, -1)),
+           | i -> concat_ws(' ', slice(split(regexp_replace(trim($textCol),
+           |'\\\\s+', ' '), ' '), i + 1, $n)))""".stripMargin.replaceAll("\n", " "))).as("shingle")
+    docs.select(col(idCol).as("doc_id"), sh).where(col("shingle") =!= "").distinct()
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold),
+    * computed WITHOUT an all-pairs join: docs only meet if they share a
+    * shingle (inverted-index self-join), then |A∩B| is one groupBy away and
+    * |A| comes from per-doc shingle counts. Hot shingles (stopword-only
+    * grams) fan out quadratically — `maxShingleFreq` drops shingles shared
+    * by more than that many docs (a standard, publicly-documented trick;
+    * dropped shingles can only lower recall for pairs that share ONLY
+    * ubiquitous grams). */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = shingles(docs, n).persist()
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val kept = sh.join(freq.where(col("df") <= maxShingleFreq), Seq("shingle"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val inter = kept.as("x").join(kept.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+
+    val res = inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+    res
+  }
+
+  // ----------------------------------------------------------- MinHash+LSH
+
+  /** MinHash signature columns mh0..mh{numPerm-1}: per permutation i the min
+    * over shingles of xxhash64(shingle, i). One explode + one groupBy with
+    * numPerm algebraic min aggregates (a single shuffle). */
+  def minhashSignatures(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until numPerm).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs via banding: split the signature into `bands` bands
+    * of `rowsPerBand` mins, hash each band, self-join on (band index, band
+    * hash). Returns distinct (a, b) with a < b. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bIdx =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates, then EXACT Jaccard
+    * verification on candidates only (so output precision is exact; LSH only
+    * bounds recall — tune bands/rows to the threshold's S-curve). */
+  def minhashNearDups(docs: DataFrame, n: Int, threshold: Double,
+                      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val cands = lshCandidates(minhashSignatures(docs, n, numPerm), bands, rowsPerBand)
+    val sh = shingles(docs, n).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val interCnt = cands
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingle", "sa"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingle", "sb"), "b")
+      .where(col("sa") === col("sb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    interCnt
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: per token-hash bit, vote ±1; sign of the
+    * per-bit sum becomes the bit. Implemented as one explode + 64 algebraic
+    * sums (single shuffle), then bit assembly — no UDF. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates from
+    * 16-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    * chunks equal), verified by exact popcount. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(docs).persist()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+}
