@@ -150,12 +150,13 @@ object GraftQueries {
     }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nBits = 6, nTables = 8)
         .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
         .orderBy("qid", "rk")
     }),
     "q_embed_sim_pairs" -> ((s, d) =>
-      Similarity.cosineNearDups(table(s, d, "embeddings"), threshold = 0.8)
+      Similarity.cosineNearDups(table(s, d, "embeddings"), threshold = 0.35)
         .orderBy("a", "b")),
 
     // --- multimodal plumbing (stubbed decode; real schema/batch shape) ---
@@ -192,18 +193,21 @@ object GraftQueries {
   /** Unrolled fixed-iteration PageRank in ANSI SQL (same recurrence as
     * PageRank.fixedIterations; rounding bridges float noise). */
   private def pagerankSql(iters: Int): String = {
+    // MATERIALIZED: the unrolled chain references `e`/`deg` 10× each — without
+    // materialization DuckDB inlines the CTE and re-opens the parquet files
+    // per reference, tripping "too many open files" under a low ulimit.
     val sb = new StringBuilder
-    sb ++= s"WITH e AS ($procurementEdgesSql), "
-    sb ++= "v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e), "
-    sb ++= "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
-    sb ++= "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), "
-    sb ++= "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM v)"
+    sb ++= s"WITH e AS MATERIALIZED ($procurementEdgesSql), "
+    sb ++= "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e), "
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+    sb ++= "deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), "
+    sb ++= "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM v)"
     for (i <- 1 to iters) {
-      sb ++= s", d$i AS (SELECT COALESCE(SUM(r.pr), 0.0) AS mass FROM r${i - 1} r " +
+      sb ++= s", d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0.0) AS mass FROM r${i - 1} r " +
         "LEFT JOIN deg ON r.id = deg.id WHERE deg.id IS NULL)"
-      sb ++= s", c$i AS (SELECT e.dst AS id, SUM(r.pr / deg.outdeg) AS contrib " +
+      sb ++= s", c$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.pr / deg.outdeg) AS contrib " +
         s"FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON e.src = deg.id GROUP BY e.dst)"
-      sb ++= s", r$i AS (SELECT v.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+      sb ++= s", r$i AS MATERIALIZED (SELECT v.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         s"CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, 0.0) + (SELECT mass FROM d$i) / " +
         s"(SELECT n FROM nn)) AS pr FROM v LEFT JOIN c$i c ON v.id = c.id)"
     }
@@ -305,6 +309,17 @@ object GraftQueries {
       "ranked AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid " +
       "ORDER BY cos DESC, nid ASC) AS rk FROM scored) " +
       "SELECT qid, nid, cos, rk FROM ranked WHERE rk <= 10 ORDER BY qid, rk"),
+
+    "q_embed_sim_pairs" -> ("WITH x AS MATERIALIZED (SELECT vec_id, " +
+      "generate_subscripts(embedding, 1) AS idx, unnest(embedding) AS val FROM embeddings), " +
+      "norms AS MATERIALIZED (SELECT vec_id AS id, " +
+      "SQRT(SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) AS nrm FROM x GROUP BY vec_id), " +
+      "dots AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "SUM(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)) AS dot FROM x a " +
+      "JOIN x b ON a.idx = b.idx AND a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id) " +
+      "SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos FROM dots " +
+      "JOIN norms na ON a = na.id JOIN norms nb ON b = nb.id " +
+      "WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.35 ORDER BY a, b"),
 
     "q_events_window" -> ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
       "count(*) AS n, ROUND(SUM(value), 6) AS sum_value FROM events " +
