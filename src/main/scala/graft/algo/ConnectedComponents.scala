@@ -32,7 +32,19 @@ final class ConnectedComponents(maxIter: Int = 50) extends Algorithm {
   override def name: String = "cc"
 
   override def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
-                   store: Option[StateStore] = None): AlgoResult = {
+                   store: Option[StateStore] = None): AlgoResult =
+    loop(spark, edges, vertices, store, None)
+
+  /** Warm-start from an existing labeling (incremental CC after edge ADDS:
+    * old labels are per-part component minima, so min-propagation from them
+    * converges to the merged component's min — sound only for inserts;
+    * deletes require a cold run, see graft.stream.Updates). */
+  def runFrom(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+              init: DataFrame): AlgoResult =
+    loop(spark, edges, vertices, None, Some(init))
+
+  private def loop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+                   store: Option[StateStore], init: Option[DataFrame]): AlgoResult = {
     // Undirected view: propagate along both directions.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -41,8 +53,8 @@ final class ConnectedComponents(maxIter: Int = 50) extends Algorithm {
       .persist()
     und.count()
 
-    var state = vertices.select(col("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true).persist()
+    var state = init.getOrElse(vertices.select(col("id")).distinct()
+      .withColumn("label", col("id"))).localCheckpoint(true).persist()
     var it = 0
     var changed = Long.MaxValue
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]

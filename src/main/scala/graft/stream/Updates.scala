@@ -1,0 +1,140 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.{AlgoResult, ConnectedComponents}
+import graft.graph.GraphUpdate
+
+/** Update-stream (CDC) application + safe/unsafe classification.
+  *
+  * Reference semantics being reproduced (SURVEY.md §2.2, §2.5-P5, §3.3):
+  *  - `InsertUnit {v|-v|e|-e}` records applied in stream order
+  *    (ParaCOSM/CSM/utils/types.h:34-42, graph.cpp:251-285);
+  *  - mutations are M1-M4 (AddVertex/RemoveVertex/AddEdge/RemoveEdge,
+  *    graph.cpp:23-116) — here pure table algebra: union / dedup /
+  *    anti-join, never in-place mutation;
+  *  - the safe-update mechanism: classify each update with a cheap
+  *    predicate; updates that provably cannot change the result skip the
+  *    expensive recompute (Classify, parallel_graphflow.cpp:1990-2016;
+  *    window protocol BatchUpdates3, main.cpp:253-397). For connected
+  *    components the predicate is: an edge insert whose endpoints already
+  *    share a label is safe; vertex/edge deletes are always unsafe (the
+  *    reference also treats vertex deletes as always-unsafe,
+  *    main.cpp:301-313).
+  *
+  * Batch compaction: within one micro-batch, the LAST op per key wins
+  * (vertex key = id; edge key = (id1,id2)) — standard CDC log compaction,
+  * equivalent to the reference's sequential in-order application for any
+  * batch, including add-then-delete sequences.
+  */
+object Updates {
+
+  /** Last-op-per-key compaction of a micro-batch. */
+  def compact(batch: Dataset[GraphUpdate]): DataFrame = {
+    val df = batch.toDF()
+    val isEdge = col("op").isin("e", "-e")
+    val keyed = df.withColumn("kind", when(isEdge, "e").otherwise("v"))
+      .withColumn("k1", col("id1"))
+      .withColumn("k2", when(isEdge, col("id2")).otherwise(lit(0L)))
+    val w = Window.partitionBy(col("kind"), col("k1"), col("k2")).orderBy(col("seq").desc)
+    keyed.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("seq"), col("op"), col("id1"), col("id2"), col("label"))
+  }
+
+  /** Apply one compacted micro-batch to (vertices, edges).
+    * Validation mirrors the reference's hard protocol errors (deleting a
+    * non-existent edge aborts, graph.cpp:98-102) when `strict`. */
+  def applyBatch(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                 batch: Dataset[GraphUpdate], strict: Boolean = false): (DataFrame, DataFrame) = {
+    val c = compact(batch).persist()
+
+    val vAdds = c.where(col("op") === "v").select(col("id1").as("id"))
+    val vDels = c.where(col("op") === "-v").select(col("id1").as("id"))
+    val eAdds = c.where(col("op") === "e").select(col("id1").as("src"), col("id2").as("dst"))
+    val eDels = c.where(col("op") === "-e").select(col("id1").as("src"), col("id2").as("dst"))
+
+    if (strict) {
+      val missingDel = eDels.join(edges, Seq("src", "dst"), "left_anti").count()
+      require(missingDel == 0, s"-e for $missingDel non-existent edge(s) (reference aborts, graph.cpp:98-102)")
+      val newVerts = vertices.select(col("id")).union(vAdds)
+      val danglingEnds = eAdds.select(col("src").as("id"))
+        .union(eAdds.select(col("dst").as("id")))
+        .join(newVerts, Seq("id"), "left_anti").count()
+      require(danglingEnds == 0, s"e with $danglingEnds endpoint(s) not present (endpoints must exist first)")
+    }
+
+    // M1 add vertices; M2 remove vertices (and incident edges)
+    val v1 = vertices.select(col("id")).union(vAdds).distinct()
+      .join(vDels, Seq("id"), "left_anti")
+
+    // M3 add edges (dedup, no self loops); M4 remove edges; cascade -v
+    val e1 = edges.select(col("src"), col("dst")).union(eAdds)
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .join(eDels, Seq("src", "dst"), "left_anti")
+      .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+
+    c.unpersist()
+    (v1, e1)
+  }
+
+  /** Safe/unsafe classification for connected components: broadcast the
+    * (small) per-batch update set against the label state — the
+    * anti-join-before-heavy-work pattern (F2/F3). Returns the batch with a
+    * `safe` column. */
+  def classifyForCC(ccState: DataFrame, batch: Dataset[GraphUpdate]): DataFrame = {
+    val lbl = ccState.select(col("id"), col("label"))
+    val b = batch.toDF()
+    val withL1 = b.join(lbl.withColumnRenamed("id", "id1").withColumnRenamed("label", "l1"),
+      Seq("id1"), "left_outer")
+    val withL2 = withL1.join(lbl.withColumnRenamed("id", "id2").withColumnRenamed("label", "l2"),
+      Seq("id2"), "left_outer")
+    withL2.withColumn("safe",
+      (col("op") === "e" && col("l1").isNotNull && col("l1") === col("l2")) ||
+        (col("op") === "v"))
+      .select(col("seq"), col("op"), col("id1"), col("id2"), col("label"), col("safe"))
+  }
+
+  /** Incremental CC maintenance over one micro-batch:
+    *  - all updates safe             → labels unchanged (zero supersteps);
+    *  - adds only (some cross-label) → WARM start from previous labels
+    *    (sound: each old label is the min id of its old component, so
+    *    min-propagation from old labels converges to the min id of the
+    *    merged component);
+    *  - any delete                   → COLD recompute (splits invalidate
+    *    old labels — the reference also routes deletes to full search).
+    * Returns (newVertices, newEdges, ccResult, nSafe, nUnsafe). */
+  def incrementalCC(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                    ccState: DataFrame, batch: Dataset[GraphUpdate])
+      : (DataFrame, DataFrame, AlgoResult, Long, Long) = {
+    import spark.implicits._
+    val classified = classifyForCC(ccState, batch).persist()
+    val nSafe = classified.where(col("safe")).count()
+    val nUnsafe = classified.where(!col("safe")).count()
+    val (v1, e1) = applyBatch(spark, vertices, edges, batch)
+    val v1c = v1.localCheckpoint(true)
+    val e1c = e1.localCheckpoint(true)
+
+    val hasDelete = classified.where(col("op").isin("-v", "-e")).count() > 0
+    val result =
+      if (nUnsafe == 0) {
+        // state unchanged except brand-new vertices get their own label
+        val newV = v1c.join(ccState.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("label", col("id"))
+        AlgoResult(ccState.union(newV), 0, Seq.empty)
+      } else if (!hasDelete) {
+        val cc = new ConnectedComponents(maxIter = 60)
+        val warmInit = ccState.union(
+          v1c.join(ccState.select(col("id")), Seq("id"), "left_anti")
+            .withColumn("label", col("id")))
+        cc.runFrom(spark, e1c, v1c, warmInit)
+      } else {
+        new ConnectedComponents(maxIter = 60).run(spark, e1c, v1c)
+      }
+    classified.unpersist()
+    (v1c, e1c, result, nSafe, nUnsafe)
+  }
+}
