@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.state.StateStore
@@ -12,19 +12,24 @@ import graft.state.StateStore
   * where danglingMass = Σ r(u) over vertices with outDeg(u)=0. Convergence:
   * L∞(r' − r) < tol.
   *
-  * Scale notes (what survives 1000 executors × 100 TB):
-  *  - `adj` (edges ⋈ outDeg) is computed ONCE and persisted — the only
-  *    per-iteration shuffle is the groupBy(dst) partial+final sum, which is
-  *    algebraic, so power-law hub in-degree is absorbed by map-side partial
-  *    aggregation (the reference's thread-local-counter + reduce pattern,
-  *    ParaCOSM parallel_graphflow.cpp:988-990, is Spark's default physical agg).
-  *  - dangling ids are precomputed once; per-iteration dangling mass is one
-  *    semi-join + scalar agg.
+  * Physical shape — ONE shuffle per superstep (the groupBy(dst) partial+final
+  * sum), everything else co-partitioned:
+  *  - `adj` (src, dst, outDeg) is hash-partitioned by src ONCE and
+  *    checkpointed; `localCheckpoint` preserves outputPartitioning, so the
+  *    per-iteration adj ⋈ ranks join needs no exchange on the adj side.
+  *  - `ranks` carries HashPartitioning(id) out of the previous groupBy/join,
+  *    matching both the adj join (src=id) and the verts join (id=id).
+  *  - the vertex table carries a precomputed `dangling` flag, so the next
+  *    iteration's dangling mass and the delta norms come from ONE scan of
+  *    the just-checkpointed state — no extra semi-join job.
+  *  - joins take shuffle-hash hints: state fits per-partition hash maps and
+  *    avoids re-sorting 10⁷-row inputs every superstep (SMJ would).
+  *  - hub in-degree skew is absorbed by map-side partial aggregation (sum is
+  *    algebraic) — the reference's thread-local-counter + reduce pattern
+  *    (ParaCOSM parallel_graphflow.cpp:988-990) is Spark's default physical agg.
   *  - lineage is truncated every superstep (StateStore commit or
   *    localCheckpoint) — mandatory for iterative Catalyst plans
   *    (SURVEY.md §7.4-1).
-  *  - AQE handles skewed join sides at runtime; the hub-heavy groupBy(dst)
-  *    never skews because `sum` is algebraic (partial agg on the map side).
   */
 final class PageRank(
     damping: Double = 0.85,
@@ -51,90 +56,127 @@ final class PageRank(
   private def loop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                    store: Option[StateStore], startIter: Int,
                    startRanks: Option[DataFrame]): AlgoResult = {
-    val verts = vertices.select(col("id")).distinct().persist()
-    val n = verts.count().toDouble
-    require(n > 0, "empty vertex set")
+    val g = PageRank.prepare(spark, edges, vertices)
+    val n = g.n
 
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
-    val adj = edges.join(outDeg, edges("src") === outDeg("id"))
-      .select(col("src"), col("dst"), col("outDeg")).persist()
-    adj.count()
-    val danglingIds = verts.join(outDeg, Seq("id"), "left_anti").persist()
-    danglingIds.count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var ranks = (startRanks match {
+      // snapshots carry (id, rank, dangling); re-establish co-partitioning
+      case Some(df) => df.select("id", "rank", "dangling").repartition(parts, col("id"))
+      case None => g.verts.select(col("id"), lit(1.0 / n).as("rank"), col("dangling"))
+    }).localCheckpoint(true)
+    var danglingMass = PageRank.danglingMass(ranks)
 
-    var ranks = startRanks.getOrElse(verts.withColumn("rank", lit(1.0 / n))).persist()
     var it = startIter
     var linf = Double.MaxValue
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
 
     while (it < maxIter && linf >= tol) {
       val t0 = System.nanoTime()
-      val (newRanks, normRow) = superstep(adj, danglingIds, verts, ranks, n)
-      linf = normRow._2
+      val stepped = PageRank.superstep(g, ranks, danglingMass, damping)
+        .withColumn("d", abs(col("rank") - col("prev")))
+      val next = stepped.select(col("id"), col("rank"), col("dangling"), col("d"))
+        .localCheckpoint(true)
+      // one scan of the fresh state: delta norms + next dangling mass
+      val row = next.agg(
+        sum(col("d")).as("l1"), max(col("d")).as("linf"),
+        sum(when(col("dangling"), col("rank")).otherwise(0.0)).as("dm")).head()
+      val l1 = row.getDouble(0)
+      linf = row.getDouble(1)
+      danglingMass = row.getDouble(2)
       val wallMs = (System.nanoTime() - t0) / 1000000L
+
       it += 1
-      val m = SuperstepMetrics(it, wallMs, n.toLong, normRow._1, linf, 0L)
+      val m = SuperstepMetrics(it, wallMs, n.toLong, l1, linf, 0L)
       metrics += m
       val prev = ranks
-      ranks = Algorithm.truncate(spark, newRanks, store, name, it, m).persist()
+      ranks = store match {
+        case Some(s) =>
+          s.commit(spark, name, it, next.select("id", "rank", "dangling"),
+            l1, linf, 0L, wallMs)
+        case None => next.select("id", "rank", "dangling")
+      }
       prev.unpersist()
     }
 
-    adj.unpersist(); danglingIds.unpersist(); verts.unpersist()
-    AlgoResult(ranks, it, metrics.toSeq)
-  }
-
-  /** One superstep; returns (newRanks, (deltaL1, deltaLinf)). */
-  private def superstep(adj: DataFrame, danglingIds: DataFrame, verts: DataFrame,
-                        ranks: DataFrame, n: Double): (DataFrame, (Double, Double)) = {
-    val danglingMass = ranks.join(danglingIds, Seq("id"), "left_semi")
-      .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-
-    val contribs = adj.join(ranks, adj("src") === ranks("id"))
-      .groupBy(col("dst").as("id"))
-      .agg(sum(col("rank") / col("outDeg")).as("contrib"))
-
-    val newRanks = verts.join(contribs, Seq("id"), "left_outer")
-      .select(col("id"),
-        (lit((1.0 - damping) / n) +
-          lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-            lit(danglingMass / n))).as("rank"))
-
-    val row = newRanks.as("n").join(ranks.as("p"), Seq("id"))
-      .select((col("n.rank") - col("p.rank")).as("d"))
-      .agg(sum(abs(col("d"))).as("l1"), max(abs(col("d"))).as("linf")).head()
-    (newRanks, (row.getDouble(0), row.getDouble(1)))
+    g.adj.unpersist(); g.verts.unpersist()
+    AlgoResult(ranks.select("id", "rank"), it, metrics.toSeq)
   }
 }
 
 object PageRank {
+
+  /** Prepared graph: co-partitioned, checkpointed inputs reused by every
+    * superstep. */
+  final case class Prepared(adj: DataFrame, verts: DataFrame, n: Double)
+
+  def prepare(spark: SparkSession, edges: DataFrame, vertices: DataFrame): Prepared = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
+    val adj = edges.join(outDeg.hint("shuffle_hash"), edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("outDeg"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val verts = vertices.select(col("id")).distinct()
+      .join(outDeg.hint("shuffle_hash"), Seq("id"), "left_outer")
+      .select(col("id"), col("outDeg").isNull.as("dangling"))
+      .repartition(parts, col("id"))
+      .localCheckpoint(true)
+    val n = verts.count().toDouble
+    require(n > 0, "empty vertex set")
+    Prepared(adj, verts, n)
+  }
+
+  def danglingMass(ranks: DataFrame): Double =
+    ranks.agg(sum(when(col("dangling"), col("rank")).otherwise(0.0))).head().getDouble(0)
+
+  /** One superstep: returns (id, rank, prev, dangling) — NOT yet
+    * materialized. Exactly one shuffle (the groupBy(dst) sum).
+    *
+    * Join-shape constraint (hard-won): the state chain must pass through a
+    * LEFT OUTER join, never an inner one. Catalyst's size-only stats
+    * visitor estimates inner-join size as the PRODUCT of the children and
+    * `localCheckpoint` preserves origin stats across the lineage cut — an
+    * inner join of state with itself squares the BigInt sizeInBytes every
+    * superstep, and by iteration ~20 the driver spends seconds per plan in
+    * BigInteger.multiply inside stats estimation. With state as the left
+    * side of one left-outer join (size = sum, not product), the estimate
+    * grows only linearly in the exponent. */
+  def superstep(g: Prepared, ranks: DataFrame, danglingMass: Double,
+                damping: Double): DataFrame = {
+    val n = g.n
+    val contribs = g.adj
+      .join(ranks.select(col("id"), col("rank")).hint("shuffle_hash"),
+        g.adj("src") === col("id"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("rank") / col("outDeg")).as("contrib"))
+    ranks.select(col("id"), col("rank").as("prev"), col("dangling"))
+      .join(contribs.hint("shuffle_hash"), Seq("id"), "left_outer")
+      .select(col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+            lit(danglingMass / n))).as("rank"),
+        col("prev"), col("dangling"))
+  }
+
   /** Fixed-iteration variant used by the DuckDB-oracle query: the oracle SQL
     * unrolls the identical recurrence k times (floating convergence loops
     * can't cross engines; a fixed iteration count can, with rounding). */
   def fixedIterations(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                       iters: Int, damping: Double = 0.85): DataFrame = {
-    val verts = vertices.select(col("id")).distinct().persist()
-    val n = verts.count().toDouble
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
-    val adj = edges.join(outDeg, edges("src") === outDeg("id"))
-      .select(col("src"), col("dst"), col("outDeg")).persist()
-    val danglingIds = verts.join(outDeg, Seq("id"), "left_anti").persist()
-
-    var ranks = verts.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
-      val danglingMass = ranks.join(danglingIds, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = adj.join(ranks, adj("src") === ranks("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("outDeg")).as("contrib"))
-      ranks = verts.join(contribs, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(danglingMass / n))).as("rank"))
-        .localCheckpoint(true)
+    val g = prepare(spark, edges, vertices)
+    var ranks = g.verts.select(col("id"), lit(1.0 / g.n).as("rank"), col("dangling"))
+      .localCheckpoint(true)
+    var dm = danglingMass(ranks)
+    for (i <- 1 to iters) {
+      val next = superstep(g, ranks, dm, damping)
+        .select("id", "rank", "dangling").localCheckpoint(true)
+      val prev = ranks
+      ranks = next
+      if (i < iters) dm = danglingMass(ranks)
+      prev.unpersist()
     }
-    adj.unpersist(); danglingIds.unpersist(); verts.unpersist()
-    ranks
+    g.adj.unpersist(); g.verts.unpersist()
+    ranks.select("id", "rank")
   }
 }

@@ -100,6 +100,24 @@ object PagesFixture {
     }
   }
 
+  /** Distributed closed-form edge generator for BENCH scales: the same link
+    * structure as `expectedEdges` but produced executor-side from a
+    * spark.range (no driver-side HTML materialization — the extraction path
+    * is correctness-tested separately at small scale; the bench measures
+    * superstep throughput on arbitrarily large graphs). Vertex id = the
+    * page ordinal s·P+k (already unique — no hashing needed here). */
+  def edgesDistributed(spark: org.apache.spark.sql.SparkSession,
+                       nSites: Int, pagesPerSite: Int,
+                       parallelism: Int): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val S = nSites; val P = pagesPerSite
+    spark.range(0L, S.toLong * P, 1L, parallelism).as[Long].flatMap { id =>
+      val s = (id / P).toInt
+      val k = (id % P).toInt
+      outlinks(s, k, S, P).map { case (ts, tk) => (id, ts.toLong * P + tk) }
+    }
+  }
+
   /** What the dangling page WOULD link to were its anchors not commented. */
   private def outlinksUncommented(s: Int, k: Int, nSites: Int, pagesPerSite: Int): Seq[(Int, Int)] = {
     val P = pagesPerSite
