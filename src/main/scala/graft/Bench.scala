@@ -50,18 +50,23 @@ object Bench {
     * with the first `warm` supersteps dropped: the first executions of each
     * plan shape pay one-time JVM costs (codegen compile, first-touch page
     * faults on executor memory) that a long-running job amortizes to zero. */
-  /** Returns (best steady-state superstep millis, nEdges). */
-  private def bestSuperstepMs(cores: Int, nSites: Int, pagesPerSite: Int,
-                              iters: Int, warm: Int): (Double, Long) = {
+  /** Best steady-state superstep millis at `cores`, running the CSR-block
+    * PageRank (the engine's flagship physical design; agreement with the
+    * Dataset-join implementation is pinned by CsrPageRankSpec) over
+    * pre-built blocks read from `blockPath`. Block build is one-time
+    * preprocessing excluded from throughput — like the reference excludes
+    * graph load (BASELINE.md "Load Graphs" vs "Incremental Matching") —
+    * and the SAME artifact feeds every parallelism level, with a fixed
+    * block count P, so only the core count varies (the real-cluster N-vs-4N
+    * shape: fixed partitioning, varying executors). */
+  private def bestSuperstepMs(cores: Int, blockP: Int, blockPath: String,
+                              iters: Int, warm: Int): Double = {
     val spark = session(cores, aqe = false)
-    val eDF = PagesFixture.edgesDistributed(spark, nSites, pagesPerSite, cores * 2)
-      .toDF("src", "dst").localCheckpoint(true)
-    val vDF = spark.range(0L, nSites.toLong * pagesPerSite).toDF("id")
-      .localCheckpoint(true)
-    val nEdges = eDF.count()
-    val res = new PageRank(tol = 0.0, maxIter = warm + iters).run(spark, eDF, vDF)
+    spark.conf.set("spark.sql.shuffle.partitions", blockP.toString)
+    val blocks = graft.algo.CsrPageRank.load(spark, blockPath)
+    val (_, _, m) = graft.algo.CsrPageRank.run(spark, blocks, tol = 0.0, maxIter = warm + iters)
     spark.stop()
-    (res.metrics.drop(warm).map(_.wallMs).min.toDouble, nEdges)
+    m.drop(warm).map(_.wallMs).min.toDouble
   }
 
   /** Round-robin best-of across parallelism levels: this VM shows multi-
@@ -69,14 +74,24 @@ object Bench {
     * measurements are interleaved in short cycles and the best superstep
     * per level wins — the statistic that reflects the engine, not the
     * neighbors. Returns cores → edges/sec/superstep, plus nEdges. */
-  private def scalingMatrix(levels: Seq[Int], nSites: Int, pagesPerSite: Int,
-                            iters: Int, warm: Int, reps: Int): (Map[Int, Double], Long) = {
-    var nEdges = 0L
+  private def scalingMatrix(schedule: Seq[Int], nSites: Int, pagesPerSite: Int,
+                            blockP: Int, iters: Int, warm: Int): (Map[Int, Double], Long) = {
+    // build once at full parallelism, fixed block count
+    val blockPath = java.nio.file.Files.createTempDirectory("graft-bench-blocks").toString
+    val bs = session(32, aqe = false)
+    bs.conf.set("spark.sql.shuffle.partitions", blockP.toString)
+    val eDF = PagesFixture.edgesDistributed(bs, nSites, pagesPerSite, 64)
+      .toDF("src", "dst")
+    val built = graft.algo.CsrPageRank.buildDense(bs, eDF,
+      nVerts = nSites.toLong * pagesPerSite)
+    val nEdges = eDF.count()
+    graft.algo.CsrPageRank.save(built, blockPath)
+    bs.stop()
+
     val best = scala.collection.mutable.Map.empty[Int, Double]
-    for (rep <- 1 to reps; c <- levels) {
-      val (ms, n) = bestSuperstepMs(c, nSites, pagesPerSite, iters, warm)
-      nEdges = n
-      System.err.println(f"[bench] scaling rep=$rep cores=$c%-3d bestSuperstep=${ms}%.0fms")
+    schedule.foreach { c =>
+      val ms = bestSuperstepMs(c, blockP, blockPath, iters, warm)
+      System.err.println(f"[bench] scaling cores=$c%-3d bestSuperstep=${ms}%.0fms")
       best(c) = math.min(best.getOrElse(c, Double.MaxValue), ms)
     }
     (best.map { case (c, ms) => c -> nEdges.toDouble / (ms / 1000.0) }.toMap, nEdges)
@@ -104,9 +119,12 @@ object Bench {
     //    memory-bandwidth ceiling, so it measures the ENGINE's scaling);
     //  - secondary: local[8] → local[32] (reported too; on this VM the
     //    superstep is bandwidth-bound past ~8 threads — see BASELINE.md).
-    // 5k sites × 500 pages = 2.5M vertices, ~5.35M edges
-    val (sites, pps, iters, warm) = (5000, 500, 3, 1)
-    val (thr, nEdges) = scalingMatrix(Seq(2, 8, 32), sites, pps, iters, warm, reps = 3)
+    // 40k sites × 500 pages = 20M vertices, ~42.8M edges, 64 fixed blocks —
+    // big enough that superstep compute dominates the 2-job/superstep fixed
+    // cost at every level
+    val (sites, pps, iters, warm) = (40000, 500, 5, 1)
+    val (thr, nEdges) = scalingMatrix(Seq(2, 8, 32, 2, 8), sites, pps,
+      blockP = 64, iters = iters, warm = warm)
     val (thr2, thr8, thr32) = (thr(2), thr(8), thr(32))
     val eff = thr8 / (4.0 * thr2)
     val eff832 = thr32 / (4.0 * thr8)

@@ -1,0 +1,352 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over per-partition CSR blocks — the reference's packed
+  * adjacency-array layout (ParaCOSM/CSM/graph/graph.h:63-75: parallel sorted
+  * primitive vectors per vertex) reborn as a block-partitioned Dataset, per
+  * the north star's "salted, range-partitioned edge Dataset with
+  * per-partition CSR blocks".
+  *
+  * Layout (all typed Datasets, no RDD API):
+  *  - vertices are hash-assigned to P blocks (pid = xxhash64(id) mod P) and
+  *    indexed densely within their block (idx = rank of id in block);
+  *  - `GraphBlock(pid)` packs the block's out-edges as primitive arrays
+  *    (srcIdx, dstPid, dstIdx) SORTED by (dstPid, dstIdx), plus the per-
+  *    vertex outDeg array — built once, checkpointed, reused every superstep;
+  *  - `RankBlock(pid)` is the superstep state: one double per vertex plus
+  *    the static dangling flags, re-checkpointed per superstep.
+  *
+  * Superstep = joinWith(blocks, state) → flatMap emitting PRE-AGGREGATED
+  * sparse messages (one (idx[], sum[]) pair per destination block — the
+  * dst-sorted edge layout makes per-destination accumulation a streaming
+  * run-length pass, no hash map) → cogroup(state) merging messages into the
+  * next rank vector and computing per-block delta norms + dangling mass in
+  * the same pass.
+  *
+  * Why this beats the row-at-a-time Dataset join at scale: the shuffle
+  * carries ≤ one entry per (srcBlock, dst) pair in packed primitive arrays
+  * (≈12 B/entry, map-side combined) instead of one Tungsten row per edge,
+  * and the per-superstep CPU is tight array arithmetic instead of hash-join
+  * probes — the same argument the reference makes for CSR adjacency over
+  * pointer-chasing (SURVEY.md §1.3). Agreement with the Dataset-join
+  * PageRank within 1e-6 is the cross-implementation oracle (SURVEY.md §5).
+  */
+object CsrPageRank {
+
+  final case class GraphBlock(
+      pid: Int,
+      outDeg: Array[Int],                 // per block-vertex, idx-aligned
+      edgeSrcIdx: Array[Int],             // edges sorted by (dstPid, dstIdx)
+      edgeDstPid: Array[Int],
+      edgeDstIdx: Array[Int])
+
+  final case class VertsBlock(pid: Int, ids: Array[Long])
+
+  final case class RankBlock(
+      pid: Int,
+      ranks: Array[Double],
+      dangling: Array[Boolean],
+      danglingMass: Double,               // of THIS block's current ranks
+      deltaL1: Double,
+      deltaLinf: Double)
+
+  final case class Msg(pid: Int, idx: Array[Int], sums: Array[Double])
+
+  final case class Blocks(graph: Dataset[GraphBlock], verts: Dataset[VertsBlock],
+                          init: Dataset[RankBlock], n: Long, p: Int)
+
+  /** One-time build: index vertices, pack edges into blocks. Three shuffles
+    * total (vertex indexing, edge placement, block packing) — amortized over
+    * every subsequent superstep. */
+  def build(spark: SparkSession, edges: DataFrame, vertices: DataFrame): Blocks = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // (id, pid, idx): dense index within block, ordered by id for determinism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("id"))
+    val vIdx = vertices.select(col("id")).distinct()
+      .withColumn("pid", pmod(xxhash64(col("id")), lit(p.toLong)).cast("int"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("int"))
+      .localCheckpoint(true)
+    val n = vIdx.count()
+
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).cast("int").as("deg"))
+
+    // per-vertex static arrays (ids, outDeg) packed per block
+    val vertRows = vIdx.join(outDeg, vIdx("id") === outDeg("src"), "left_outer")
+      .select(col("pid"), col("idx"), col("id"), coalesce(col("deg"), lit(0)).as("deg"))
+      .repartition(p, col("pid"))
+      .sortWithinPartitions("pid", "idx")
+    val verts = vertRows.select("pid", "idx", "id", "deg")
+      .as[(Int, Int, Long, Int)]
+      .mapPartitions { rows =>
+        packRuns(rows.map { case (pid, _, id, deg) => (pid, (id, deg)) })
+          .map { case (pid, xs) => (pid, xs.map(_._1).toArray, xs.map(_._2).toArray) }
+      }.localCheckpoint(true)
+
+    // edges with both endpoints resolved to (pid, idx)
+    val srcRef = vIdx.select(col("id").as("src"), col("pid").as("srcPid"), col("idx").as("srcIdx"))
+    val dstRef = vIdx.select(col("id").as("dst"), col("pid").as("dstPid"), col("idx").as("dstIdx"))
+    val eRef = edges.select(col("src"), col("dst"))
+      .join(srcRef.hint("shuffle_hash"), "src")
+      .join(dstRef.hint("shuffle_hash"), "dst")
+      .select(col("srcPid"), col("srcIdx"), col("dstPid"), col("dstIdx"))
+      .repartition(p, col("srcPid"))
+      .sortWithinPartitions("srcPid", "dstPid", "dstIdx")
+
+    val edgeBlocks = eRef.as[(Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        packRuns(rows.map { case (sp, si, dp, di) => (sp, (si, dp, di)) })
+          .map { case (pid, xs) =>
+            (pid, xs.map(_._1).toArray, xs.map(_._2).toArray, xs.map(_._3).toArray)
+          }
+      }
+
+    // merge vertex arrays + edge arrays into GraphBlock (some blocks may
+    // have no edges → left_outer from verts)
+    val vDF = verts.toDF("pid", "ids", "degs")
+    val eDF2 = edgeBlocks.toDF("pid", "eSrcIdx", "eDstPid", "eDstIdx")
+    val graph = vDF.join(eDF2, Seq("pid"), "left_outer")
+      .select(col("pid"), col("degs"), col("eSrcIdx"), col("eDstPid"), col("eDstIdx"))
+      .as[(Int, Array[Int], Option[Array[Int]], Option[Array[Int]], Option[Array[Int]])]
+      .map { case (pid, degs, si, dp, di) =>
+        GraphBlock(pid, degs,
+          si.getOrElse(Array.emptyIntArray),
+          dp.getOrElse(Array.emptyIntArray),
+          di.getOrElse(Array.emptyIntArray))
+      }
+      .repartition(p, col("pid"))
+      .localCheckpoint(true)
+
+    val n0 = n.toDouble
+    val init = verts.map { case (pid, ids, degs) =>
+      val ranks = Array.fill(ids.length)(1.0 / n0)
+      val dang = degs.map(_ == 0)
+      val dm = dang.count(identity) * (1.0 / n0)
+      RankBlock(pid, ranks, dang, dm, 0.0, 0.0)
+    }.repartition(p, col("pid")).localCheckpoint(true)
+
+    val vertsDs = verts.map { case (pid, ids, _) => VertsBlock(pid, ids) }
+      .localCheckpoint(true)
+
+    Blocks(graph, vertsDs, init, n, p)
+  }
+
+  /** Fast-path build for DENSE vertex ids in [0, nVerts): pid = id mod P,
+    * idx = id div P — arithmetic indexing, so the whole build is ONE shuffle
+    * (edge placement) with outDeg accumulated in the same partition pass.
+    * Used by the bench harness; `build` is the general-id path. */
+  def buildDense(spark: SparkSession, edges: DataFrame, nVerts: Long): Blocks = {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n0 = nVerts.toDouble
+
+    def nVertsOf(pid: Int): Int =
+      ((nVerts - pid + p - 1) / p).toInt // count of ids ≡ pid (mod p) below nVerts
+
+    val eRef = edges
+      .select((col("src") % p).cast("int").as("srcPid"),
+        (col("src") / p).cast("int").as("srcIdx"),
+        (col("dst") % p).cast("int").as("dstPid"),
+        (col("dst") / p).cast("int").as("dstIdx"))
+      .repartition(p, col("srcPid"))
+      .sortWithinPartitions("srcPid", "dstPid", "dstIdx")
+
+    val graph = eRef.as[(Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        packRuns(rows.map { case (sp, si, dp, di) => (sp, (si, dp, di)) })
+          .map { case (pid, xs) =>
+            val deg = new Array[Int](nVertsOf(pid))
+            xs.foreach { case (si, _, _) => deg(si) += 1 }
+            GraphBlock(pid, deg, xs.map(_._1).toArray, xs.map(_._2).toArray,
+              xs.map(_._3).toArray)
+          }
+      }
+    // blocks with no out-edges at all still need rows (all-dangling)
+    val allPids = spark.range(0, p).select(col("id").cast("int").as("pid"))
+    val graphAll = allPids.joinWith(graph, allPids("pid") === graph("pid"), "left_outer")
+      .map { case (row, g) =>
+        val pid = row.getInt(0)
+        if (g != null) g
+        else GraphBlock(pid, new Array[Int](nVertsOf(pid)),
+          Array.emptyIntArray, Array.emptyIntArray, Array.emptyIntArray)
+      }
+      .repartition(p, col("pid")).localCheckpoint(true)
+
+    val init = graphAll.map { g =>
+      val nV = g.outDeg.length
+      val ranks = Array.fill(nV)(1.0 / n0)
+      val dang = g.outDeg.map(_ == 0)
+      RankBlock(g.pid, ranks, dang, dang.count(identity) * (1.0 / n0), 0.0, 0.0)
+    }.repartition(p, col("pid")).localCheckpoint(true)
+
+    val verts = graphAll.map { g =>
+      VertsBlock(g.pid, Array.tabulate(g.outDeg.length)(i => i.toLong * p + g.pid))
+    }.localCheckpoint(true)
+
+    Blocks(graphAll, verts, init, nVerts, p)
+  }
+
+  /** Group consecutive runs of a sorted (key, payload) iterator. */
+  private def packRuns[T](rows: Iterator[(Int, T)]): Iterator[(Int, Vector[T])] =
+    new Iterator[(Int, Vector[T])] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): (Int, Vector[T]) = {
+        val pid = it.head._1
+        val b = Vector.newBuilder[T]
+        while (it.hasNext && it.head._1 == pid) b += it.next()._2
+        (pid, b.result())
+      }
+    }
+
+  /** Persist built blocks (packed parquet) so the same input can be re-run
+    * at several parallelism levels — the cluster-size comparison reads one
+    * artifact, like a real N-vs-4N executor test reads one table. */
+  def save(blocks: Blocks, path: String): Unit = {
+    blocks.graph.write.mode("overwrite").parquet(s"$path/graph")
+    blocks.verts.write.mode("overwrite").parquet(s"$path/verts")
+    blocks.init.write.mode("overwrite").parquet(s"$path/init")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "meta.json"),
+      s"""{"n":${blocks.n},"p":${blocks.p}}""")
+  }
+
+  def load(spark: SparkSession, path: String): Blocks = {
+    import spark.implicits._
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "meta.json"))
+    val n = """"n":(\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
+    val p = """"p":(\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    Blocks(
+      spark.read.parquet(s"$path/graph").as[GraphBlock]
+        .repartition(p, col("pid")).localCheckpoint(true),
+      spark.read.parquet(s"$path/verts").as[VertsBlock]
+        .repartition(p, col("pid")).localCheckpoint(true),
+      spark.read.parquet(s"$path/init").as[RankBlock]
+        .repartition(p, col("pid")).localCheckpoint(true),
+      n, p)
+  }
+
+  /** Run to convergence (L∞ < tol). Returns (state, iterations, metrics). */
+  def run(spark: SparkSession, blocks: Blocks, damping: Double = 0.85,
+          tol: Double = 1e-6, maxIter: Int = 100): (Dataset[RankBlock], Int, Seq[SuperstepMetrics]) = {
+    import spark.implicits._
+    val n = blocks.n.toDouble
+    var state = blocks.init
+    var danglingMass = state.toDF().agg(sum("danglingMass")).head().getDouble(0)
+    var it = 0
+    var linf = Double.MaxValue
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
+
+    var chkPrev: Dataset[RankBlock] = null
+    while (it < maxIter && linf >= tol) {
+      val t0 = System.nanoTime()
+      val chk = superstep(spark, blocks.graph, state, danglingMass, damping, n)
+        .localCheckpoint(true)
+      val row = chk.toDF().agg(
+        sum("deltaL1"), max("deltaLinf"), sum("danglingMass")).head()
+      val l1 = row.getDouble(0)
+      linf = row.getDouble(1)
+      danglingMass = row.getDouble(2)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      it += 1
+      metrics += SuperstepMetrics(it, wallMs, blocks.n, l1, linf, 0L)
+      if (chkPrev != null) chkPrev.unpersist()
+      chkPrev = chk
+      // Rewrap the checkpointed RDD in a fresh Dataset: joinWith/cogroup are
+      // inner-join-shaped, and Catalyst's size-only stats visitor estimates
+      // them as the PRODUCT of the children; localCheckpoint preserves
+      // origin stats across the lineage cut, so without this reset the
+      // BigInt sizeInBytes squares every superstep and the driver drowns in
+      // BigInteger math by iteration ~20 (same trap as PageRank.superstep).
+      state = spark.createDataset(chk.rdd)
+    }
+    (state, it, metrics.toSeq)
+  }
+
+  /** One superstep over blocks. */
+  def superstep(spark: SparkSession, graph: Dataset[GraphBlock],
+                state: Dataset[RankBlock], danglingMass: Double,
+                damping: Double, n: Double): Dataset[RankBlock] = {
+    import spark.implicits._
+    val base = (1.0 - damping) / n + damping * danglingMass / n
+
+    val msgs: Dataset[Msg] = graph
+      .joinWith(state, graph("pid") === state("pid"))
+      .flatMap { case (g, r) =>
+        // per-source contribution = rank/outDeg (0 for dangling)
+        val contrib = new Array[Double](g.outDeg.length)
+        var i = 0
+        while (i < contrib.length) {
+          if (g.outDeg(i) > 0) contrib(i) = r.ranks(i) / g.outDeg(i)
+          i += 1
+        }
+        // stream dst-sorted edges: one sparse message per destination block,
+        // consecutive same-dst entries collapse (map-side combine)
+        val out = Vector.newBuilder[Msg]
+        val m = g.edgeSrcIdx.length
+        var e = 0
+        while (e < m) {
+          val dPid = g.edgeDstPid(e)
+          val idxB = Array.newBuilder[Int]
+          val sumB = Array.newBuilder[Double]
+          while (e < m && g.edgeDstPid(e) == dPid) {
+            val dIdx = g.edgeDstIdx(e)
+            var s = 0.0
+            while (e < m && g.edgeDstPid(e) == dPid && g.edgeDstIdx(e) == dIdx) {
+              s += contrib(g.edgeSrcIdx(e))
+              e += 1
+            }
+            idxB += dIdx
+            sumB += s
+          }
+          out += Msg(dPid, idxB.result(), sumB.result())
+        }
+        out.result()
+      }
+
+    msgs.groupByKey(_.pid).cogroup(state.groupByKey(_.pid)) { (pid, ms, rs) =>
+      val prev = rs.next()
+      val nV = prev.ranks.length
+      val acc = new Array[Double](nV)
+      ms.foreach { msg =>
+        var i = 0
+        while (i < msg.idx.length) { acc(msg.idx(i)) += msg.sums(i); i += 1 }
+      }
+      val ranks = new Array[Double](nV)
+      var dm = 0.0; var l1 = 0.0; var linf = 0.0
+      var i = 0
+      while (i < nV) {
+        val v = base + damping * acc(i)
+        ranks(i) = v
+        if (prev.dangling(i)) dm += v
+        val d = math.abs(v - prev.ranks(i))
+        l1 += d
+        if (d > linf) linf = d
+        i += 1
+      }
+      Iterator.single(RankBlock(pid, ranks, prev.dangling, dm, l1, linf))
+    }
+  }
+
+  /** Unpack block state back to (id, rank) rows for verification/readback. */
+  def toRows(spark: SparkSession, state: Dataset[RankBlock],
+             verts: Dataset[VertsBlock]): DataFrame = {
+    import spark.implicits._
+    state.joinWith(verts, state("pid") === verts("pid"))
+      .flatMap { case (r, v) =>
+        v.ids.indices.iterator.map(i => (v.ids(i), r.ranks(i)))
+      }.toDF("id", "rank")
+  }
+
+  /** Convenience: full pipeline on (edges, vertices) DataFrames. */
+  def pagerank(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+               damping: Double = 0.85, tol: Double = 1e-6, maxIter: Int = 100)
+      : (DataFrame, Int, Seq[SuperstepMetrics]) = {
+    val blocks = build(spark, edges, vertices)
+    val (state, iters, m) = run(spark, blocks, damping, tol, maxIter)
+    (toRows(spark, state, blocks.verts), iters, m)
+  }
+}
