@@ -123,7 +123,7 @@ object Bench {
     // big enough that superstep compute dominates the 2-job/superstep fixed
     // cost at every level
     val (sites, pps, iters, warm) = (40000, 500, 5, 1)
-    val (thr, nEdges) = scalingMatrix(Seq(2, 8, 32, 2, 8), sites, pps,
+    val (thr, nEdges) = scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8), sites, pps,
       blockP = 64, iters = iters, warm = warm)
     val (thr2, thr8, thr32) = (thr(2), thr(8), thr(32))
     val eff = thr8 / (4.0 * thr2)

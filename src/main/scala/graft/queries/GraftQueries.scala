@@ -113,7 +113,9 @@ object GraftQueries {
       Dedup.jaccardPairs(table(s, d, "documents"), n = 1, threshold = 0.5,
         maxShingleFreq = Long.MaxValue).orderBy("a", "b")),
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashNearDups(table(s, d, "documents"), n = 1, threshold = 0.9)
+      // word 3-gram shingles: distinctive on small-vocab corpora (token sets
+      // would make nearly every pair an LSH candidate — quadratic blowup)
+      Dedup.minhashNearDups(table(s, d, "documents"), n = 3, threshold = 0.8)
         .orderBy("a", "b")),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(table(s, d, "documents"), maxDist = 3).orderBy("a", "b")),
