@@ -106,6 +106,37 @@ object GraftQueries {
       new LabelPropagation(maxIter = 5).run(s, e, edgeVertices(e)).state.orderBy("id")
     }),
 
+    "q_pagerank_csr" -> ((s, d) => {
+      // same 10-iteration recurrence through the CSR-block engine — shares
+      // q_pagerank's DuckDB oracle, so the packed path is oracle-gated too
+      val e = procurementEdges(s, d)
+      val blocks = graft.algo.CsrPageRank.build(s, e, edgeVertices(e))
+      val (state, _, _) = graft.algo.CsrPageRank.run(s, blocks, tol = 0.0, maxIter = 10)
+      graft.algo.CsrPageRank.toRows(s, state, blocks.verts)
+        .select(col("id"), round(col("rank"), 8).as("pr"))
+        .orderBy("id")
+    }),
+
+    // full pages pipeline on the closed-form fixture (html → extraction →
+    // xxhash64 graph → CC + triangles + dangling): the oracle is the
+    // closed-form expectation computed by the independent plain-Scala
+    // fixture math (FIXTURES.md §2), emitted as SQL literals
+    "q_pages_stats" -> ((s, _) => {
+      import s.implicits._
+      val pages = s.createDataset(graft.pages.PagesFixture.generate(20, 50))
+      val (v, e) = GraphBuilder.buildVerified(s, pages)
+      val vDF = v.toDF().localCheckpoint(true)
+      val eDF = e.toDF().localCheckpoint(true)
+      val nPages = vDF.count()
+      val nEdges = eDF.count()
+      val nComps = new ConnectedComponents(maxIter = 60).run(s, eDF, vDF)
+        .state.select("label").distinct().count()
+      val nTris = TriangleCount.countTriangles(s, eDF).head().getLong(0)
+      val nDangling = vDF.join(eDF.select(col("src").as("id")), Seq("id"), "left_anti").count()
+      Seq((nPages, nEdges, nComps, nTris, nDangling))
+        .toDF("n_pages", "n_edges", "n_components", "n_triangles", "n_dangling")
+    }),
+
     // --- dedup family (training-data pipeline) ---
     "q_dedup_groups" -> ((s, d) =>
       Dedup.exactGroups(table(s, d, "documents")).orderBy("fp")),
@@ -227,6 +258,14 @@ object GraftQueries {
       "COALESCE(i.c, 0) AS in_deg FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id"),
 
     "q_pagerank" -> pagerankSql(10),
+
+    "q_pagerank_csr" -> pagerankSql(10),
+
+    // closed-form fixture expectations (computed independently by the
+    // plain-Scala fixture math over FIXTURES.md §2; S=20, P=50)
+    "q_pages_stats" -> ("SELECT CAST(1000 AS BIGINT) AS n_pages, " +
+      "CAST(2128 AS BIGINT) AS n_edges, CAST(10 AS BIGINT) AS n_components, " +
+      "CAST(1218 AS BIGINT) AS n_triangles, CAST(1 AS BIGINT) AS n_dangling"),
 
     "q_cc" -> (s"WITH RECURSIVE e AS ($procurementEdgesSql), " +
       "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
