@@ -88,11 +88,16 @@ object Bench {
     graft.algo.CsrPageRank.save(built, blockPath)
     bs.stop()
 
+    // deadline guard: bad CPU-steal weather can stretch a session 10×; stop
+    // sampling once each level has ≥1 measurement and the budget is spent
+    val deadline = System.nanoTime() + 300L * 1000000000L
     val best = scala.collection.mutable.Map.empty[Int, Double]
     schedule.foreach { c =>
-      val ms = bestSuperstepMs(c, blockP, blockPath, iters, warm)
-      System.err.println(f"[bench] scaling cores=$c%-3d bestSuperstep=${ms}%.0fms")
-      best(c) = math.min(best.getOrElse(c, Double.MaxValue), ms)
+      if (System.nanoTime() < deadline || !best.contains(c)) {
+        val ms = bestSuperstepMs(c, blockP, blockPath, iters, warm)
+        System.err.println(f"[bench] scaling cores=$c%-3d bestSuperstep=${ms}%.0fms")
+        best(c) = math.min(best.getOrElse(c, Double.MaxValue), ms)
+      }
     }
     (best.map { case (c, ms) => c -> nEdges.toDouble / (ms / 1000.0) }.toMap, nEdges)
   }
@@ -123,11 +128,17 @@ object Bench {
     // big enough that superstep compute dominates the 2-job/superstep fixed
     // cost at every level
     val (sites, pps, iters, warm) = (40000, 500, 5, 1)
-    val (thr, nEdges) = scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8), sites, pps,
-      blockP = 64, iters = iters, warm = warm)
+    // failures in the scaling section must not lose the JSON line
+    val (thr, nEdges) =
+      try scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8), sites, pps,
+        blockP = 64, iters = iters, warm = warm)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling failed: ${e.getMessage}")
+        (Map(2 -> 0.0, 8 -> 0.0, 32 -> 0.0), 0L)
+      }
     val (thr2, thr8, thr32) = (thr(2), thr(8), thr(32))
-    val eff = thr8 / (4.0 * thr2)
-    val eff832 = thr32 / (4.0 * thr8)
+    val eff = if (thr2 > 0) thr8 / (4.0 * thr2) else 0.0
+    val eff832 = if (thr8 > 0) thr32 / (4.0 * thr8) else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
