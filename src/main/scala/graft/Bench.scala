@@ -89,8 +89,11 @@ object Bench {
     bs.stop()
 
     // deadline guard: bad CPU-steal weather can stretch a session 10×; stop
-    // sampling once each level has ≥1 measurement and the budget is spent
-    val deadline = System.nanoTime() + 300L * 1000000000L
+    // sampling once each level has ≥1 measurement and the budget is spent.
+    // 1500s so the full interleaved best-of schedule normally completes —
+    // round 1's 300s cut it to one sample per level and the statistic was
+    // steal noise, not engine scaling
+    val deadline = System.nanoTime() + 1500L * 1000000000L
     val best = scala.collection.mutable.Map.empty[Int, Double]
     schedule.foreach { c =>
       if (System.nanoTime() < deadline || !best.contains(c)) {
@@ -130,7 +133,7 @@ object Bench {
     val (sites, pps, iters, warm) = (40000, 500, 5, 1)
     // failures in the scaling section must not lose the JSON line
     val (thr, nEdges) =
-      try scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8), sites, pps,
+      try scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8, 32, 2, 8), sites, pps,
         blockP = 64, iters = iters, warm = warm)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")

@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    val rows = df.count()
+    println(s"[smoke] entry rows=$rows")
+    df.show(5, false)
+    spark.stop()
+  }
+}

@@ -21,13 +21,30 @@ import graft.state.StateStore
   * approximate).
   *
   * Scale notes: two shuffles per superstep (neighbor groupBy-min + the jump
-  * join on label). Both are algebraic mins ⇒ partial aggregation absorbs hub
-  * skew. The edge table is persisted once; state is lineage-truncated per
+  * join on label). The neighbor min is algebraic ⇒ partial aggregation
+  * absorbs hub skew. The JUMP join is the skew hazard: its key is `label`,
+  * whose distribution collapses toward one hot key per component as
+  * convergence approaches — on a web graph (one giant component) that is a
+  * single key carrying O(|V|) rows. Mitigation (north rule "key salting +
+  * broadcast of the hot frontier"): once the label distribution concentrates
+  * (approx distinct labels ≪ rows, tracked for free in the per-superstep
+  * aggregate), labels with count > `hotLabelThreshold` are detected by an
+  * algebraic groupBy (itself skew-free), the probe side gets a deterministic
+  * salt in [0, saltK) from xxhash64(id), and the tiny hot slice of the
+  * (unique-key) build side is broadcast-replicated once per salt — per-key
+  * shuffle rows are bounded by max(hotLabelThreshold, rows/saltK).
+  *
+  * The edge table is persisted once; state is lineage-truncated per
   * superstep. This is the tabular form of union-find — the reference has no
   * CC, but its iterative index-propagation loops (SymBi InsertionTopDown
   * queues, symbi.cpp:404-468) are the same propagate-until-no-change shape.
   */
-final class ConnectedComponents(maxIter: Int = 50) extends Algorithm {
+final class ConnectedComponents(maxIter: Int = 50,
+                                hotLabelThreshold: Long = 1000000L,
+                                saltK: Int = 16) extends Algorithm {
+
+  /** Supersteps that took the salted-jump path (visible for tests/metrics). */
+  @volatile var saltedSupersteps: Int = 0
 
   override def name: String = "cc"
 
@@ -57,6 +74,9 @@ final class ConnectedComponents(maxIter: Int = 50) extends Algorithm {
       .withColumn("label", col("id"))).localCheckpoint(true).persist()
     var it = 0
     var changed = Long.MaxValue
+    var approxLabels = Long.MaxValue // from the previous superstep's agg
+    var rowsPrev = Long.MaxValue
+    saltedSupersteps = 0
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
 
     while (it < maxIter && changed > 0) {
@@ -67,20 +87,55 @@ final class ConnectedComponents(maxIter: Int = 50) extends Algorithm {
       val cand = state.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("cand"))
-      // (2) pointer jump: label(label(v)) — compresses label chains
+      // (2) pointer jump: label(label(v)) — compresses label chains. Probe
+      // key = `label` (concentrates as components merge); build side is
+      // unique-key. Salted once the distribution is provably concentrated.
       val ptr = state.select(col("id").as("lid"), col("label").as("plabel"))
-      val next = cand.join(ptr, cand("label") === ptr("lid"), "left_outer")
-        .select(col("id"), col("label"),
-          least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
+      val concentrated = approxLabels < rowsPrev / 4
+      def plainJump(): DataFrame =
+        cand.join(ptr, cand("label") === ptr("lid"), "left_outer")
+          .select(col("id"), col("label"),
+            least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
+      // hot labels by algebraic count (partial agg absorbs the hot key);
+      // only probed in the concentrated regime, and the salted plan only
+      // replaces the plain one when a label actually exceeds the threshold
+      lazy val hot = state.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .where(col("n") > hotLabelThreshold).select(col("label").as("hl"))
+        .localCheckpoint(true)
+      val next =
+        if (!concentrated || hot.limit(1).count() == 0) plainJump()
+        else {
+          saltedSupersteps += 1
+          val candS = cand
+            .join(broadcast(hot), cand("label") === col("hl"), "left_outer")
+            .withColumn("salt",
+              when(col("hl").isNotNull, pmod(xxhash64(col("id")), lit(saltK.toLong)))
+                .otherwise(lit(0L)))
+          // build side: cold rows once at salt 0; hot-label rows replicated
+          // per salt (the broadcast-the-hot-frontier half of the rule)
+          val ptrHot = ptr.join(broadcast(hot), ptr("lid") === col("hl"), "left_semi")
+            .withColumn("psalt", explode(array((0 until saltK).map(s => lit(s.toLong)): _*)))
+          val ptrCold = ptr.join(broadcast(hot), ptr("lid") === col("hl"), "left_anti")
+            .withColumn("psalt", lit(0L))
+          val ptr2 = ptrCold.unionByName(ptrHot)
+          candS.join(ptr2,
+              candS("label") === ptr2("lid") && candS("salt") === ptr2("psalt"),
+              "left_outer")
+            .select(candS("id"), candS("label"),
+              least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
+        }
 
       // Checkpoint eagerly ONCE, then both the changed-count agg and the
       // durable commit read the materialized result (no double compute).
       val nextChk = next.localCheckpoint(true)
       val agg = nextChk.agg(
         sum(when(col("newLabel") =!= col("label"), 1L).otherwise(0L)).as("changed"),
-        count(lit(1)).as("rows")).head()
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("newLabel")).as("labels")).head()
       changed = agg.getLong(0)
       val rows = agg.getLong(1)
+      approxLabels = agg.getLong(2)
+      rowsPrev = rows
       val wallMs = (System.nanoTime() - t0) / 1000000L
 
       it += 1

@@ -107,15 +107,33 @@ final class PageRank(
 object PageRank {
 
   /** Prepared graph: co-partitioned, checkpointed inputs reused by every
-    * superstep. */
-  final case class Prepared(adj: DataFrame, verts: DataFrame, n: Double)
+    * superstep. `hotIds` is Some(tiny table of hub ids) iff some vertex's
+    * out-degree exceeds the skew threshold — then `adj` carries a `salt`
+    * column and the contribution join runs salted (see superstep). */
+  final case class Prepared(adj: DataFrame, verts: DataFrame, n: Double,
+                            hotIds: Option[DataFrame] = None, saltK: Int = 16)
 
-  def prepare(spark: SparkSession, edges: DataFrame, vertices: DataFrame): Prepared = {
+  /** Hub skew handling (north rule): a vertex with out-degree >
+    * `hotDegThreshold` concentrates that many rows on one `src` shuffle key
+    * in the per-superstep contribution join. Detected ONCE here (degree is
+    * static): such adj rows get a deterministic salt from xxhash64(dst), and
+    * every superstep broadcast-replicates the hubs' rank rows per salt —
+    * bounded per-key rows, one tiny broadcast, no change when no hubs exist
+    * (web out-degree is usually moderate; transposed/social graphs are the
+    * hub case). */
+  def prepare(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+              hotDegThreshold: Long = 2000000L, saltK: Int = 16): Prepared = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDeg"))
-    val adj = edges.join(outDeg.hint("shuffle_hash"), edges("src") === outDeg("id"))
-      .select(col("src"), col("dst"), col("outDeg"))
-      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val hot = outDeg.where(col("outDeg") > hotDegThreshold).select(col("id"))
+    val hasHot = hot.limit(1).count() > 0
+    val adjBase = edges.join(outDeg.hint("shuffle_hash"), edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("outDeg"),
+        when(col("outDeg") > hotDegThreshold,
+          pmod(xxhash64(col("dst")), lit(saltK.toLong))).otherwise(lit(0L)).as("salt"))
+    val adj = (if (hasHot) adjBase.repartition(parts, col("src"), col("salt"))
+               else adjBase.repartition(parts, col("src")))
       .localCheckpoint(true)
     val verts = vertices.select(col("id")).distinct()
       .join(outDeg.hint("shuffle_hash"), Seq("id"), "left_outer")
@@ -124,7 +142,8 @@ object PageRank {
       .localCheckpoint(true)
     val n = verts.count().toDouble
     require(n > 0, "empty vertex set")
-    Prepared(adj, verts, n)
+    Prepared(adj, verts, n,
+      if (hasHot) Some(hot.localCheckpoint(true)) else None, saltK)
   }
 
   def danglingMass(ranks: DataFrame): Double =
@@ -145,9 +164,25 @@ object PageRank {
   def superstep(g: Prepared, ranks: DataFrame, danglingMass: Double,
                 damping: Double): DataFrame = {
     val n = g.n
-    val contribs = g.adj
-      .join(ranks.select(col("id"), col("rank")).hint("shuffle_hash"),
-        g.adj("src") === col("id"))
+    val joined = g.hotIds match {
+      case None =>
+        // hub-free: keep the join key = src alone so adj's one-time
+        // repartition(src) still satisfies it (no per-superstep exchange)
+        g.adj.join(ranks.select(col("id"), col("rank")).hint("shuffle_hash"),
+          g.adj("src") === col("id"))
+      case Some(hot) =>
+        // broadcast the hot-vertex frontier: hub ranks replicated per salt,
+        // join key (src, salt) matches adj's (src, salt) partitioning
+        val r = ranks.select(col("id"), col("rank"))
+        val rHot = r.join(broadcast(hot), Seq("id"), "left_semi")
+          .withColumn("rsalt", explode(array((0 until g.saltK).map(s => lit(s.toLong)): _*)))
+        val rCold = r.join(broadcast(hot), Seq("id"), "left_anti")
+          .withColumn("rsalt", lit(0L))
+        val rankSide = rCold.unionByName(rHot)
+        g.adj.join(rankSide.hint("shuffle_hash"),
+          g.adj("src") === rankSide("id") && g.adj("salt") === rankSide("rsalt"))
+    }
+    val contribs = joined
       .groupBy(col("dst").as("id"))
       .agg(sum(col("rank") / col("outDeg")).as("contrib"))
     ranks.select(col("id"), col("rank").as("prev"), col("dangling"))

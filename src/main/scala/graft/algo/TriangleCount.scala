@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** Canonically-oriented edge set: src precedes dst in (degree, id) order. */
+  /** Canonically-oriented edge set: src precedes dst in (degree, id) order.
+    * `und` is persisted — the degree pass and the orientation join both read
+    * it, and upstream `edges` is often an expensive derivation (re-running
+    * it 3x dominated q_triangles' round-1 cost). */
   def orient(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
+      .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val withDeg = und
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")

@@ -53,15 +53,19 @@ object Dedup {
     * shingle (inverted-index self-join), then |A∩B| is one groupBy away and
     * |A| comes from per-doc shingle counts. Hot shingles (stopword-only
     * grams) fan out quadratically — `maxShingleFreq` drops shingles shared
-    * by more than that many docs (a standard, publicly-documented trick;
-    * dropped shingles can only lower recall for pairs that share ONLY
-    * ubiquitous grams). */
+    * by more than that many docs (a standard, publicly-documented trick).
+    * Intersection and set sizes both come from the filtered universe, so the
+    * score is the exact Jaccard of the FILTERED shingle sets; filtering can
+    * only lower recall for pairs that share ONLY ubiquitous grams. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = shingles(docs, n).persist()
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val kept = sh.join(freq.where(col("df") <= maxShingleFreq), Seq("shingle"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // sizes from the FILTERED universe too, so the value is the exact Jaccard
+    // of the filtered sets (identical docs score 1.0 even when a hot shingle
+    // is dropped), not a deflated lower bound
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     val inter = kept.as("x").join(kept.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -80,23 +84,33 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash+LSH
 
+  /** Default (scale-path) seeded shingle hash: xxhash64(shingle, seed). The
+    * md5 family (Hashing.mdHash64Seeded) is the DuckDB-sharable swap-in —
+    * same operator shape, oracle-computable constants. */
+  val xxShingleHash: (Column, Int) => Column = (c, i) => xxhash64(c, lit(i))
+
+  /** Default band hash; md5 swap-in hashes the '|'-joined mins instead. */
+  val xxBandHash: Seq[Column] => Column = cols => xxhash64(cols: _*)
+
   /** MinHash signature columns mh0..mh{numPerm-1}: per permutation i the min
-    * over shingles of xxhash64(shingle, i). One explode + one groupBy with
+    * over shingles of shingleHash(shingle, i). One explode + one groupBy with
     * numPerm algebraic min aggregates (a single shuffle). */
-  def minhashSignatures(docs: DataFrame, n: Int, numPerm: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int, numPerm: Int,
+                        shingleHash: (Column, Int) => Column = xxShingleHash): DataFrame = {
     val sh = shingles(docs, n)
     val aggs = (0 until numPerm).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+      min(shingleHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs via banding: split the signature into `bands` bands
     * of `rowsPerBand` mins, hash each band, self-join on (band index, band
     * hash). Returns distinct (a, b) with a < b. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                    bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
-      struct(lit(bIdx).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(bIdx).as("band"), bandHash(cols).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -111,9 +125,12 @@ object Dedup {
     * verification on candidates only (so output precision is exact; LSH only
     * bounds recall — tune bands/rows to the threshold's S-curve). */
   def minhashNearDups(docs: DataFrame, n: Int, threshold: Double,
-                      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+                      numPerm: Int = 32, bands: Int = 8,
+                      shingleHash: (Column, Int) => Column = xxShingleHash,
+                      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val cands = lshCandidates(minhashSignatures(docs, n, numPerm), bands, rowsPerBand)
+    val cands = lshCandidates(minhashSignatures(docs, n, numPerm, shingleHash),
+      bands, rowsPerBand, bandHash)
     val sh = shingles(docs, n).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val interCnt = cands
@@ -135,11 +152,12 @@ object Dedup {
   /** 64-bit SimHash per document: per token-hash bit, vote ±1; sign of the
     * per-bit sum becomes the bit. Implemented as one explode + 64 algebraic
     * sums (single shuffle), then bit assembly — no UDF. */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              tokHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokHash(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
     }
@@ -153,8 +171,9 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates from
     * 16-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at least one of 4
     * chunks equal), verified by exact popcount. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = simhash(docs).persist()
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      tokHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = simhash(docs, tokHash = tokHash).persist()
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),

@@ -33,17 +33,21 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake, clearly marked. A real build links a
     * codec here; the function signature (bytes → meta) and the surrounding
-    * batch shape are the contract. */
+    * batch shape are the contract.
+    *
+    * The fake properties derive from a 60-bit md5 hash of the payload's
+    * uppercase hex (Hashing.mdHash64/hexUpperJvm) — chosen over a byte-fold
+    * so the DuckDB oracle can compute the IDENTICAL values in plain SQL
+    * (md5 + integer `/ %` on a non-negative 60-bit int), which is what
+    * oracle-gates this pipeline's plumbing end to end. */
   object StubCodec {
     def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta = {
-      val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b) // det. fake
-      val fmt = (java.lang.Long.remainderUnsigned(h, 3L): Long) match {
-        case 0L => "img"; case 1L => "audio"; case _ => "video"
-      }
+      val h = Hashing.mdHash64Jvm(Hashing.hexUpperJvm(bytes)) // 60-bit, >= 0
+      val fmt = (h % 3) match { case 0L => "img"; case 1L => "audio"; case _ => "video" }
       MediaMeta(id, bytes.length.toLong, fmt,
-        width = 16 + (java.lang.Long.remainderUnsigned(h >> 8, 64L)).toInt,
-        height = 16 + (java.lang.Long.remainderUnsigned(h >> 16, 64L)).toInt,
-        n_frames = 1 + (java.lang.Long.remainderUnsigned(h >> 24, 30L)).toInt)
+        width = (16 + (h / 256L) % 64L).toInt,
+        height = (16 + (h / 65536L) % 64L).toInt,
+        n_frames = (1 + (h / 16777216L) % 30L).toInt)
     }
 
     /** Deterministic fake feature vector (a real build returns an embedding). */

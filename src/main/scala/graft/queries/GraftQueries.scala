@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.GraphBuilder
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
 
 /** The driver-facing query catalogue: one entry per implemented operator
   * (SparkEntry.queries) and, for everything ANSI-SQL-expressible, a DuckDB
@@ -64,6 +64,27 @@ object GraftQueries {
   private def edgeVertices(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct()
 
+  /** Deterministic LABELED graph for the subgraph-matching queries — both
+    * engines derive identical labels: vlabel = p_partkey % 4 over parts,
+    * elabel = (src + dst) % 3 over co-purchase edges. */
+  private def labeledParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = copurchaseEdges(s, d)
+      .withColumn("elabel", ((col("src") + col("dst")) % 3).cast("int"))
+    val v = table(s, d, "part")
+      .select(col("p_partkey").as("id"), (col("p_partkey") % 4).cast("int").as("vlabel"))
+    (e, v)
+  }
+
+  /** Shared labeled-relation CTEs for the matching oracles (mirror of
+    * GraphMatcher.relation over labeledParts). */
+  private val labeledRelCte =
+    s"e AS MATERIALIZED ($copurchaseEdgesSql), " +
+      "lv AS MATERIALIZED (SELECT p_partkey AS id, p_partkey % 4 AS vlabel FROM part), " +
+      "ue AS MATERIALIZED (SELECT src, dst, (src + dst) % 3 AS elabel FROM e " +
+      "UNION ALL SELECT dst AS src, src AS dst, (src + dst) % 3 AS elabel FROM e), " +
+      "r AS MATERIALIZED (SELECT ue.src, ue.dst, ue.elabel, a.vlabel AS sl, b.vlabel AS dl " +
+      "FROM ue JOIN lv a ON a.id = ue.src JOIN lv b ON b.id = ue.dst)"
+
   // ---------------------------------------------------------- the catalogue
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,6 +114,40 @@ object GraftQueries {
         .orderBy("label")
     }),
     "q_triangles" -> ((s, d) => TriangleCount.countTriangles(s, copurchaseEdges(s, d))),
+
+    // --- general labeled subgraph matching (the reference's core, J1-J5) ---
+    "q_match_path3" -> ((s, d) => {
+      import graft.matching.{GraphMatcher, QueryGraph}
+      val (e, v) = labeledParts(s, d)
+      val q = QueryGraph.path(
+        vlabels = Seq(Some(0), Some(1), Some(2)),
+        elabels = Seq(Some(1), Some(2)))
+      GraphMatcher.findMatches(s, q, e, v)
+        .groupBy(col("u1")).agg(count(lit(1)).as("n"))
+        .orderBy("u1")
+    }),
+    "q_match_clique4" -> ((s, d) => {
+      import graft.matching.{GraphMatcher, QueryGraph}
+      val (e, v) = labeledParts(s, d)
+      GraphMatcher.countMatches(s, QueryGraph.clique(4, vlabel = Some(1)), e, v)
+    }),
+    // incremental (delta-join) triangle maintenance: J3/J4 positive/negative
+    // counters; the oracle recomputes all three graph versions from scratch
+    "q_tri_delta" -> ((s, d) => {
+      import graft.matching.DeltaTriangles
+      val all = copurchaseEdges(s, d).localCheckpoint(true)
+      val adds = all.where((col("src") + col("dst")) % 10 === 0)
+      val base = all.join(adds, Seq("src", "dst"), "left_anti")
+      val dels = all.where((col("src") + col("dst")) % 10 === 5)
+      DeltaTriangles.maintain(s, base, adds, dels)
+    }),
+    // BFS depths from the min-id vertex (A5's frontier-expansion operator)
+    "q_bfs_depths" -> ((s, d) => {
+      import graft.algo.Bfs
+      val e = procurementEdges(s, d)
+      val sources = e.agg(min(col("src")).as("id"))
+      Bfs.depths(s, e, sources, maxDepth = 50).orderBy("id")
+    }),
     "q_lp_step" -> ((s, d) => {
       val und = GraphBuilder.undirected(copurchaseEdges(s, d))
       val state0 = edgeVertices(und).withColumn("label", col("id"))
@@ -101,7 +156,8 @@ object GraftQueries {
         .orderBy("id")
     }),
     "q_labelprop" -> ((s, d) => {
-      // full sync LP to (bounded) convergence — labels only; rows-only check
+      // full sync LP, 5 supersteps (early-stop at changed==0 is a no-op for
+      // the unrolled-SQL oracle: a stable labeling is a fixpoint of step)
       val e = copurchaseEdges(s, d)
       new LabelPropagation(maxIter = 5).run(s, e, edgeVertices(e)).state.orderBy("id")
     }),
@@ -145,11 +201,25 @@ object GraftQueries {
         maxShingleFreq = Long.MaxValue).orderBy("a", "b")),
     "q_dedup_minhash" -> ((s, d) =>
       // word 3-gram shingles: distinctive on small-vocab corpora (token sets
-      // would make nearly every pair an LSH candidate — quadratic blowup)
-      Dedup.minhashNearDups(table(s, d, "documents"), n = 3, threshold = 0.8)
+      // would make nearly every pair an LSH candidate — quadratic blowup).
+      // md5-family hashes so the DuckDB oracle mirrors the FULL pipeline
+      // (signatures → banding → candidates → exact verify) bit-for-bit;
+      // the default xxhash64 family is the cheaper 100 TB configuration.
+      Dedup.minhashNearDups(table(s, d, "documents"), n = 3, threshold = 0.8,
+        shingleHash = (c, i) => Hashing.mdHash64Seeded(c, i),
+        bandHash = cols => Hashing.mdHash64(concat_ws("|", cols: _*)))
         .orderBy("a", "b")),
+    "q_dedup_jaccard_capped" -> ((s, d) =>
+      // the SCALE-SAFE configuration of q_dedup_jaccard: hot shingles
+      // (df > 50 of 500 docs) are dropped before the inverted-index
+      // self-join, bounding its fan-out; oracle applies the same cap
+      Dedup.jaccardPairs(table(s, d, "documents"), n = 1, threshold = 0.5,
+        maxShingleFreq = 50L).orderBy("a", "b")),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDups(table(s, d, "documents"), maxDist = 3).orderBy("a", "b")),
+      Dedup.simhashNearDups(table(s, d, "documents"), maxDist = 3,
+        tokHash = Hashing.mdHash64(_))
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")),
 
     // --- text analysis (training-data pipeline) ---
     "q_doc_tokens" -> ((s, d) =>
@@ -191,6 +261,13 @@ object GraftQueries {
     "q_embed_sim_pairs" -> ((s, d) =>
       Similarity.cosineNearDups(table(s, d, "embeddings"), threshold = 0.35)
         .orderBy("a", "b")),
+    "q_embed_sim_lsh" -> ((s, d) =>
+      // the scale path for embedding near-dup: sign-sketch bucket self-join
+      // instead of all-pairs; oracle replicates the sketches (plane literals
+      // inlined into the SQL) so candidates AND scores are both gated
+      Similarity.lshNearDups(table(s, d, "embeddings"), threshold = 0.35,
+        nBits = 8, nTables = 6, dim = 64, seed = 42L)
+        .orderBy("a", "b")),
 
     // --- multimodal plumbing (stubbed decode; real schema/batch shape) ---
     "q_media_meta" -> ((s, d) => {
@@ -211,10 +288,13 @@ object GraftQueries {
     "q_events_sessions" -> ((s, d) => {
       val ev = table(s, d, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      ev.withColumn("prev", lag(unix_timestamp(col("ts")), 1).over(w))
+      // cast("double") = fractional epoch seconds, matching DuckDB's epoch(ts)
+      // (unix_timestamp truncates to whole seconds and misclassifies gaps
+      // within ±1s of the 1800s session boundary on microsecond data)
+      ev.withColumn("prev", lag(col("ts").cast("timestamp").cast("double"), 1).over(w))
         .withColumn("new_s",
           when(col("prev").isNull ||
-            unix_timestamp(col("ts")) - col("prev") > 1800, 1L).otherwise(0L))
+            col("ts").cast("timestamp").cast("double") - col("prev") > 1800, 1L).otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
@@ -247,6 +327,182 @@ object GraftQueries {
     sb ++= s" SELECT id, ROUND(pr, 8) AS pr FROM r$iters ORDER BY id"
     sb.toString
   }
+
+  /** Unrolled fixed-iteration synchronous label propagation (same superstep
+    * as LabelPropagation.step; deterministic mode tie-break n DESC, label
+    * ASC). */
+  private def labelpropSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED ($copurchaseEdgesSql), "
+    sb ++= "u AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+    sb ++= "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM u), "
+    sb ++= "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)"
+    for (i <- 1 to iters) {
+      sb ++= s", c$i AS MATERIALIZED (SELECT u.dst AS id, l.label, count(*) AS n " +
+        s"FROM u JOIN l${i - 1} l ON u.src = l.id GROUP BY u.dst, l.label)"
+      sb ++= s", p$i AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn " +
+        s"FROM c$i) WHERE rn = 1)"
+      sb ++= s", l$i AS MATERIALIZED (SELECT s.id, COALESCE(p.label, s.label) AS label " +
+        s"FROM l${i - 1} s LEFT JOIN p$i p ON s.id = p.id)"
+    }
+    sb ++= s" SELECT id, label FROM l$iters ORDER BY id"
+    sb.toString
+  }
+
+  /** Word n-gram shingle CTEs shared by the dedup oracles: `w` (token
+    * lists), `sh` (distinct (doc_id, shingle)). Mirrors Dedup.shingles. */
+  private def shingleCte(n: Int): String = {
+    val shingleExpr =
+      if (n == 1) "unnest(ws)"
+      else s"unnest([array_to_string(ws[i:i+${n - 1}], ' ') " +
+        s"for i in range(1, greatest(len(ws)-${n - 2}, 1))])"
+    "w AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws " +
+      "FROM documents), " +
+      "sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM " +
+      s"(SELECT doc_id, $shingleExpr AS shingle FROM w) WHERE shingle <> '')"
+  }
+
+  /** Full MinHash+LSH pipeline in DuckDB: md5-seeded per-permutation mins →
+    * '|'-joined band hashes → bucket self-join candidates → exact Jaccard
+    * verification. Bit-identical mirror of Dedup.minhashNearDups with the
+    * md5 hash family. */
+  private def minhashOracleSql(n: Int, threshold: Double, numPerm: Int, bands: Int): String = {
+    val rpb = numPerm / bands
+    val mhs = (0 until numPerm)
+      .map(i => s"min(${Hashing.mdHash64SeededSql("shingle", i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rpb until b * rpb + rpb).map(r => s"mh$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${Hashing.mdHash64Sql(s"concat_ws('|', $cols)")} AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH ${shingleCte(n)}, " +
+      s"sig AS MATERIALIZED (SELECT doc_id, $mhs FROM sh GROUP BY doc_id), " +
+      s"bk AS MATERIALIZED ($bandSelects), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y " +
+      "ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "i AS (SELECT c.a, c.b, count(*) AS inter FROM cand c " +
+      "JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle " +
+      "GROUP BY c.a, c.b) " +
+      "SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter), 6) AS jaccard " +
+      "FROM i JOIN sz sza ON i.a = sza.doc_id JOIN sz szb ON i.b = szb.doc_id " +
+      s"WHERE ROUND(CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter), 6) >= $threshold " +
+      "ORDER BY a, b"
+  }
+
+  /** 60-bit SimHash in DuckDB (md5 token hashes; bits 60-63 of the Spark
+    * side are provably 0). Pigeonhole chunk-LSH has recall exactly 1.0 at
+    * maxDist < nChunks, so the Spark output equals ALL pairs with Hamming
+    * distance <= maxDist — which is what this computes. */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val sums = (0 until 60)
+      .map(b => s"SUM(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sig = (0 until 60).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    "WITH t AS MATERIALIZED (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      s"tk AS MATERIALIZED (SELECT doc_id, ${Hashing.mdHash64Sql("tok")} AS h " +
+      "FROM t WHERE tok <> ''), " +
+      s"sums AS MATERIALIZED (SELECT doc_id, $sums FROM tk GROUP BY doc_id), " +
+      s"sg AS MATERIALIZED (SELECT doc_id, $sig AS simhash FROM sums) " +
+      "SELECT x.doc_id AS a, y.doc_id AS b, " +
+      "CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist " +
+      "FROM sg x JOIN sg y ON x.doc_id < y.doc_id " +
+      s"WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxDist ORDER BY a, b"
+  }
+
+  /** Capped n-gram Jaccard (the scale-safe twin): same as q_dedup_jaccard's
+    * oracle but shingles with document frequency > cap are dropped BEFORE
+    * the self-join, and sizes come from the same filtered universe. */
+  private def jaccardCappedSql(threshold: Double, cap: Long): String =
+    "WITH raw AS (SELECT DISTINCT doc_id, " +
+      "unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      "t AS (SELECT doc_id, tok FROM raw WHERE tok <> ''), " +
+      s"hot AS (SELECT tok FROM t GROUP BY tok HAVING count(*) > $cap), " +
+      "k AS (SELECT doc_id, tok FROM t WHERE tok NOT IN (SELECT tok FROM hot)), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY doc_id), " +
+      "i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter FROM k x " +
+      "JOIN k y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
+      "SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard " +
+      "FROM i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id " +
+      s"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= $threshold " +
+      "ORDER BY a, b"
+
+  /** Sign-sketch bucket expression for one LSH table, planes inlined as SQL
+    * double literals (the same doubles Similarity.hyperplanes feeds Spark —
+    * both engines parse the decimal literal to the identical IEEE double). */
+  private def sketchSql(vecExpr: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(list_transform($vecExpr, x -> CAST(x AS DOUBLE)), " +
+        s"$lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** UNION ALL of per-table sketch buckets over `rel` (id column `idAs`). */
+  private def bucketsSql(rel: String, idCol: String, idAs: String,
+                         nBits: Int, nTables: Int, dim: Int, seed: Long): String =
+    (0 until nTables).map { t =>
+      val sk = sketchSql("embedding", Similarity.hyperplanes(nBits, dim, seed + t))
+      s"SELECT $idCol AS $idAs, $t AS tbl, $sk AS bkt FROM $rel"
+    }.mkString(" UNION ALL ")
+
+  /** q_ann_lsh oracle: replicate the sign-LSH bucketing, then exact cosine +
+    * top-k on candidates only — q_ann_topk's scoring restricted to the
+    * LSH candidate set. */
+  private def annLshSql(k: Int, nBits: Int, nTables: Int, dim: Int, seed: Long): String = {
+    val qb = bucketsSql("q", "vec_id", "qid", nBits, nTables, dim, seed)
+    val cb = bucketsSql("embeddings", "vec_id", "nid", nBits, nTables, dim, seed)
+    "WITH q AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
+      s"qb AS MATERIALIZED ($qb), cb AS MATERIALIZED ($cb), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT qid, nid FROM qb JOIN cb USING (tbl, bkt) " +
+      "WHERE qid <> nid), " +
+      "qx AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS idx, " +
+      "unnest(embedding) AS val FROM q), " +
+      "cx AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS idx, " +
+      "unnest(embedding) AS val FROM embeddings), " +
+      "dots AS (SELECT qid, nid, SUM(CAST(qx.val AS DOUBLE) * CAST(cx.val AS DOUBLE)) AS dot " +
+      "FROM qx JOIN cx USING (idx) JOIN cand USING (qid, nid) GROUP BY qid, nid), " +
+      "norms AS (SELECT vec_id AS id, SQRT(SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) " +
+      "AS nrm FROM (SELECT vec_id, unnest(embedding) AS val FROM embeddings) GROUP BY vec_id), " +
+      "scored AS (SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos FROM dots " +
+      "JOIN norms nq ON qid = nq.id JOIN norms nc ON nid = nc.id), " +
+      "ranked AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, nid ASC) AS rk FROM scored) " +
+      s"SELECT qid, nid, cos, rk FROM ranked WHERE rk <= $k ORDER BY qid, rk"
+  }
+
+  /** q_embed_sim_lsh oracle: sign-LSH candidate pairs (a < b), exact rounded
+    * cosine >= threshold — q_embed_sim_pairs' scoring on candidates only. */
+  private def embedLshSql(threshold: Double, nBits: Int, nTables: Int,
+                          dim: Int, seed: Long): String = {
+    val bk = bucketsSql("embeddings", "vec_id", "id", nBits, nTables, dim, seed)
+    s"WITH bk AS MATERIALIZED ($bk), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT x.id AS a, y.id AS b FROM bk x JOIN bk y " +
+      "ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id), " +
+      "x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS idx, " +
+      "unnest(embedding) AS val FROM embeddings), " +
+      "norms AS MATERIALIZED (SELECT vec_id AS id, " +
+      "SQRT(SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) AS nrm FROM x GROUP BY vec_id), " +
+      "dots AS (SELECT a, b, SUM(CAST(xa.val AS DOUBLE) * CAST(xb.val AS DOUBLE)) AS dot " +
+      "FROM cand JOIN x xa ON xa.vec_id = a JOIN x xb ON xb.vec_id = b AND xa.idx = xb.idx " +
+      "GROUP BY a, b) " +
+      "SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos FROM dots " +
+      "JOIN norms na ON a = na.id JOIN norms nb ON b = nb.id " +
+      s"WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= $threshold ORDER BY a, b"
+  }
+
+  /** q_media_meta oracle: the StubCodec arithmetic in plain SQL — payload =
+    * sha256 bytes of (doc_id || text), h = 60-bit md5 of its uppercase hex
+    * (equal to Spark's hex(payload)), fake properties by integer ops. */
+  private val mediaMetaSql =
+    "WITH p AS (SELECT doc_id, upper(sha256(concat(CAST(doc_id AS VARCHAR), text))) AS hx " +
+      "FROM documents), " +
+      s"h AS (SELECT doc_id, ${Hashing.mdHash64Sql("hx")} AS h FROM p) " +
+      "SELECT doc_id, CAST(32 AS BIGINT) AS n_bytes, " +
+      "CASE h % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format, " +
+      "16 + (h // 256) % 64 AS width, 16 + (h // 65536) % 64 AS height, " +
+      "1 + (h // 16777216) % 30 AS n_frames FROM h ORDER BY doc_id"
 
   def oracleSql: Map[String, String] = Map(
     "q_edges" -> s"SELECT src, dst FROM ($procurementEdgesSql) ORDER BY src, dst",
@@ -287,6 +543,62 @@ object GraftQueries {
       "JOIN e e2 ON e1.dst = e2.src " +
       "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"),
 
+    "q_labelprop" -> labelpropSql(5),
+
+    // labeled 3-path embeddings grouped by the first vertex: 2-way self-join
+    // of the labeled relation with label filters + the injectivity predicate
+    "q_match_path3" -> (s"WITH $labeledRelCte, " +
+      "m AS (SELECT r1.src AS u1, r1.dst AS u2, r2.dst AS u3 " +
+      "FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +
+      "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src) " +
+      "SELECT u1, count(*) AS n FROM m GROUP BY u1 ORDER BY u1"),
+
+    // label-1 4-clique embeddings (ordered, injective — 24 per clique, same
+    // count semantics as GraphMatcher): 6-way self-join
+    "q_match_clique4" -> (s"WITH $labeledRelCte, " +
+      "rr AS MATERIALIZED (SELECT src, dst FROM r WHERE sl = 1 AND dl = 1) " +
+      "SELECT count(*) AS matches FROM rr a " +
+      "JOIN rr b ON b.src = a.src AND b.dst <> a.dst " +
+      "JOIN rr c ON c.src = a.src AND c.dst <> a.dst AND c.dst <> b.dst " +
+      "JOIN rr ab ON ab.src = a.dst AND ab.dst = b.dst " +
+      "JOIN rr ac ON ac.src = a.dst AND ac.dst = c.dst " +
+      "JOIN rr bc ON bc.src = b.dst AND bc.dst = c.dst"),
+
+    // from-scratch counts of all three graph versions; the Spark side must
+    // reproduce them through the delta joins alone
+    "q_tri_delta" -> (s"WITH e AS MATERIALIZED ($copurchaseEdgesSql), " +
+      "g0 AS MATERIALIZED (SELECT * FROM e WHERE (src + dst) % 10 <> 0), " +
+      "g2 AS MATERIALIZED (SELECT * FROM e WHERE (src + dst) % 10 <> 5), " +
+      "t1 AS (SELECT count(*) AS c FROM e e1 JOIN e e2 ON e1.dst = e2.src " +
+      "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+      "t0 AS (SELECT count(*) AS c FROM g0 e1 JOIN g0 e2 ON e1.dst = e2.src " +
+      "JOIN g0 e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+      "t2 AS (SELECT count(*) AS c FROM g2 e1 JOIN g2 e2 ON e1.dst = e2.src " +
+      "JOIN g2 e3 ON e3.src = e1.src AND e3.dst = e2.dst) " +
+      "SELECT t0.c AS t_old, t1.c - t0.c AS positive, t1.c - t2.c AS negative, " +
+      "t2.c AS t_new FROM t0, t1, t2"),
+
+    "q_bfs_depths" -> (s"WITH RECURSIVE e AS ($procurementEdgesSql), " +
+      "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
+      "s AS (SELECT min(src) AS id FROM e), " +
+      "reach(id, d) AS (SELECT id, 0 FROM s UNION " +
+      "SELECT u.dst, r.d + 1 FROM reach r JOIN u ON u.src = r.id WHERE r.d < 49) " +
+      "SELECT id, CAST(min(d) AS BIGINT) AS depth FROM reach GROUP BY id ORDER BY id"),
+
+    "q_dedup_minhash" -> minhashOracleSql(n = 3, threshold = 0.8, numPerm = 32, bands = 8),
+
+    "q_dedup_simhash" -> simhashOracleSql(maxDist = 3),
+
+    "q_dedup_jaccard_capped" -> jaccardCappedSql(threshold = 0.5, cap = 50L),
+
+    "q_ann_lsh" -> annLshSql(k = 10, nBits = 6, nTables = 8, dim = 64, seed = 42L),
+
+    "q_embed_sim_lsh" -> embedLshSql(threshold = 0.35, nBits = 8, nTables = 6,
+      dim = 64, seed = 42L),
+
+    "q_media_meta" -> mediaMetaSql,
+
     "q_lp_step" -> (s"WITH e AS ($copurchaseEdgesSql), " +
       "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
       "cnt AS (SELECT dst AS id, src AS label, count(*) AS n FROM u GROUP BY dst, src), " +
@@ -305,7 +617,7 @@ object GraftQueries {
       "JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
       "SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard " +
       "FROM i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id " +
-      "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY a, b"),
+      "WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5 ORDER BY a, b"),
 
     "q_doc_tokens" -> ("SELECT doc_id, " +
       "length(regexp_extract_all(text, '\\S+')) AS n_tokens, " +

@@ -61,7 +61,12 @@ final class StateStore(val root: String) {
     val dataTmp = tmp.resolve("data")
     df.write.mode("overwrite").parquet(dataTmp.toString)
 
-    val perPart = df.groupBy(spark_partition_id().as("pid")).count()
+    // Lineage from the re-read parquet (one cheap columnless scan) — NOT
+    // from `df`, which would re-run the full upstream plan a second time
+    // (at 100× scale that doubles every committed superstep) and would
+    // describe the pre-write computation rather than the stored snapshot.
+    val perPart = spark.read.parquet(dataTmp.toString)
+      .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => PartitionLineage(r.getInt(0), r.getLong(1)))
       .sortBy(_.partitionId).toSeq
     val manifest = SnapshotManifest(name, iteration, perPart.map(_.rowCount).sum,
@@ -80,11 +85,14 @@ final class StateStore(val root: String) {
   def latestCompleted(name: String): Int = {
     val base = Paths.get(root, name)
     if (!Files.isDirectory(base)) return -1
-    val its = Files.list(base).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("it="))
-      .filter(p => Files.exists(p.resolve("manifest.json")))
-      .map(_.getFileName.toString.stripPrefix("it=").toInt)
-      .toSeq
+    val stream = Files.list(base)
+    val its =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("it="))
+        .filter(p => Files.exists(p.resolve("manifest.json")))
+        .map(_.getFileName.toString.stripPrefix("it=").toInt)
+        .toSeq
+      finally stream.close() // unclosed Files.list leaks a directory fd
     if (its.isEmpty) -1 else its.max
   }
 

@@ -25,9 +25,14 @@ import graft.graph.GraphUpdate
   *    main.cpp:301-313).
   *
   * Batch compaction: within one micro-batch, the LAST op per key wins
-  * (vertex key = id; edge key = (id1,id2)) — standard CDC log compaction,
-  * equivalent to the reference's sequential in-order application for any
-  * batch, including add-then-delete sequences.
+  * (vertex key = id; edge key = (id1,id2)) — standard CDC log compaction.
+  * Compaction is PER-KEY only: it is equivalent to sequential in-order
+  * application whenever the batch has no vertex delete, because v/e/-e ops
+  * touch only their own key. A `-v` interacts across keys (it cascades to
+  * incident edges), so a batch mixing `-v` with other ops is applied as
+  * seq-ordered SEGMENTS split at each vertex delete — exact sequential
+  * semantics at the cost of one table-algebra pass per segment (vertex
+  * deletes are rare in web-crawl CDC, so the common path stays one pass).
   */
 object Updates {
 
@@ -43,11 +48,45 @@ object Updates {
       .select(col("seq"), col("op"), col("id1"), col("id2"), col("label"))
   }
 
-  /** Apply one compacted micro-batch to (vertices, edges).
+  /** Apply one micro-batch to (vertices, edges) with exact sequential
+    * semantics. Fast path: no `-v` in the batch → one compacted pass.
+    * Hazard path: `-v` mixed with other ops → split at each vertex delete
+    * into seq-ordered segments (see class doc); each segment is itself
+    * hazard-free so compaction within it is sound.
     * Validation mirrors the reference's hard protocol errors (deleting a
     * non-existent edge aborts, graph.cpp:98-102) when `strict`. */
   def applyBatch(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                  batch: Dataset[GraphUpdate], strict: Boolean = false): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val vDelSeqs = batch.filter(_.op == "-v").select(col("seq")).as[Long]
+      .collect().sorted
+    val nOps = batch.count()
+    if (vDelSeqs.isEmpty || nOps == vDelSeqs.length)
+      applySegment(spark, vertices, edges, batch, strict)
+    else {
+      // segment boundaries: (-inf, s1], (s1, s2], ..., (sk, +inf) with each
+      // -v as the closing op of its segment — exact stream order
+      val bounds = vDelSeqs.map(Some(_)) :+ None
+      var lo = Long.MinValue
+      var (v, e) = (vertices, edges)
+      bounds.foreach { hi =>
+        val seg = hi match {
+          case Some(s) => batch.filter(u => u.seq > lo && u.seq <= s)
+          case None => batch.filter(u => u.seq > lo)
+        }
+        if (hi.isEmpty || hi.exists(_ > lo)) {
+          val (v1, e1) = applySegment(spark, v, e, seg, strict)
+          v = v1.localCheckpoint(true)
+          e = e1.localCheckpoint(true)
+        }
+        hi.foreach(s => lo = s)
+      }
+      (v, e)
+    }
+  }
+
+  private def applySegment(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                           batch: Dataset[GraphUpdate], strict: Boolean): (DataFrame, DataFrame) = {
     val c = compact(batch).persist()
 
     val vAdds = c.where(col("op") === "v").select(col("id1").as("id"))
