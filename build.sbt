@@ -29,6 +29,8 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// experiment hook: GRAFT_JAVA_OPTS="-XX:+UseParallelGC" etc.
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -58,15 +58,42 @@ object Bench {
     * graph load (BASELINE.md "Load Graphs" vs "Incremental Matching") —
     * and the SAME artifact feeds every parallelism level, with a fixed
     * block count P, so only the core count varies (the real-cluster N-vs-4N
-    * shape: fixed partitioning, varying executors). */
-  private def bestSuperstepMs(cores: Int, blockP: Int, blockPath: String,
-                              iters: Int, warm: Int): Double = {
-    val spark = session(cores, aqe = false)
-    spark.conf.set("spark.sql.shuffle.partitions", blockP.toString)
-    val blocks = graft.algo.CsrPageRank.load(spark, blockPath)
-    val (_, _, m) = graft.algo.CsrPageRank.run(spark, blocks, tol = 0.0, maxIter = warm + iters)
-    spark.stop()
-    m.drop(warm).map(_.wallMs).min.toDouble
+    * shape: fixed partitioning, varying executors).
+    *
+    * Each level runs in its OWN child JVM pinned with `taskset -c 0..k-1`:
+    * one shared 32-core JVM lets a local[2] session's GC/JIT/shuffle
+    * threads spill onto the other 30 cores, inflating the small-N baseline
+    * and understating efficiency — a k-core executor on a real cluster has
+    * k cores for EVERYTHING. ParallelGC: measured 33% of superstep wall
+    * under G1 at this allocation rate; parallel scavenge cuts that ~3x. */
+  def bestSuperstepMs(cores: Int, blockP: Int, blockPath: String,
+                      iters: Int, warm: Int): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val pin = if (cores == 1) "0" else s"0-${cores - 1}"
+    val cmd = Seq("taskset", "-c", pin, javaBin) ++ addOpens ++ Seq(
+      "-Xmx36g", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.BenchLevel", blockPath, cores.toString,
+      blockP.toString, iters.toString, warm.toString)
+    val proc = new ProcessBuilder(cmd: _*).start()
+    val errDrain = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream))
+      var l = br.readLine()
+      while (l != null) l = br.readLine() // discard child spark logs
+    })
+    errDrain.setDaemon(true); errDrain.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("LEVEL_BEST_MS ") => l.stripPrefix("LEVEL_BEST_MS ").trim.toDouble
+    }.getOrElse(sys.error(s"BenchLevel produced no measurement (exit ${proc.exitValue()})"))
   }
 
   /** Round-robin best-of across parallelism levels: this VM shows multi-
@@ -127,13 +154,21 @@ object Bench {
     //    memory-bandwidth ceiling, so it measures the ENGINE's scaling);
     //  - secondary: local[8] → local[32] (reported too; on this VM the
     //    superstep is bandwidth-bound past ~8 threads — see BASELINE.md).
-    // 40k sites × 500 pages = 20M vertices, ~42.8M edges, 64 fixed blocks —
-    // big enough that superstep compute dominates the 2-job/superstep fixed
-    // cost at every level
-    val (sites, pps, iters, warm) = (40000, 500, 5, 1)
+    // 80k sites × 1000 pages = 80M vertices, ~171M edges, 64 fixed blocks.
+    // Sized so per-superstep COMPUTE dominates the fixed per-superstep
+    // coordination cost at every level: round-2 fit on the 42.8M-edge
+    // artifact was wall = C/cores + 575ms — at that size the constant term
+    // alone caps 2→8 efficiency at ~0.67 no matter how well the engine
+    // scales. 4× the edges (and one job/superstep instead of two) pushes the
+    // constant below 10% of the local[8] superstep.
+    val (sites, pps, iters, warm) = (80000, 1000, 5, 1)
     // failures in the scaling section must not lose the JSON line
+    // 7 pinned child-JVM sessions (~2.5 min each incl. artifact load) fit
+    // the 1500s deadline; the 2<->8 pair is the north-rule N-vs-4N evidence,
+    // 32 is informational (pinning the whole machine measures co-tenant
+    // steal more than the engine)
     val (thr, nEdges) =
-      try scalingMatrix(Seq(2, 8, 32, 2, 8, 2, 8, 32, 2, 8), sites, pps,
+      try scalingMatrix(Seq(2, 8, 32, 8, 2, 8, 2), sites, pps,
         blockP = 64, iters = iters, warm = warm)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")

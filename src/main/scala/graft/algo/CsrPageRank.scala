@@ -243,8 +243,13 @@ object CsrPageRank {
     var chkPrev: Dataset[RankBlock] = null
     while (it < maxIter && linf >= tol) {
       val t0 = System.nanoTime()
+      // LAZY checkpoint: the metrics aggregate below is the superstep's ONE
+      // action — it materializes the checkpoint blocks and computes the
+      // norms/dangling sums in the same job (an eager checkpoint + separate
+      // agg costs a second job per superstep; at bench scale that fixed
+      // overhead was the dominant anti-scaling term)
       val chk = superstep(spark, blocks.graph, state, danglingMass, damping, n)
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val row = chk.toDF().agg(
         sum("deltaL1"), max("deltaLinf"), sum("danglingMass")).head()
       val l1 = row.getDouble(0)

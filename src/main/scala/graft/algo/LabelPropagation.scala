@@ -16,10 +16,13 @@ import graft.state.StateStore
   * bipartite-ish structures, so the loop stops at `maxIter` even when not
   * stable — again deterministically.
   *
-  * Shape per superstep: groupBy(dst, label).count → per-dst argmax via a
-  * window ordered (count desc, label asc). The count is algebraic (partial
-  * agg absorbs hub fan-in); the window partitions by vertex, whose
-  * cardinality is |V| — no global sort.
+  * Shape per superstep: groupBy(dst, label).count → per-dst argmax as a
+  * SECOND algebraic aggregate — max over struct(n, -label, label), whose
+  * lexicographic order encodes the (count desc, label asc) tie-break. Both
+  * aggregates are partial-agg (map-side combined), so hub fan-in AND the
+  * argmax are skew-free; no sort-based window anywhere (a per-vertex
+  * row_number window costs a sort per partition and was the dominant
+  * superstep term at bench scale).
   */
 final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
 
@@ -72,10 +75,11 @@ final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
     val nbrLabels = und.join(state, und("src") === state("id"))
       .select(und("dst").as("id"), col("label"))
     val counts = nbrLabels.groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("id")).orderBy(col("n").desc, col("label").asc)
-    val mode = counts.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("label").as("modeLabel"))
+    // argmax by (n desc, label asc): max of struct(n, -label, label) —
+    // lexicographic struct comparison, algebraic, no window/sort
+    val mode = counts.groupBy(col("id"))
+      .agg(max(struct(col("n"), (-col("label")).as("negl"), col("label"))).as("m"))
+      .select(col("id"), col("m.label").as("modeLabel"))
     state.join(mode, Seq("id"), "left_outer")
       .select(col("id"), col("label"),
         coalesce(col("modeLabel"), col("label")).as("newLabel"))

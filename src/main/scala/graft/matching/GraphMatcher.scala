@@ -140,6 +140,93 @@ object GraphMatcher {
     matches.where(anyNew).agg(count(lit(1)).as("delta_matches"))
   }
 
+  /** Count matches whose image CONTAINS the single edge (a, b) — the
+    * reference's per-update delta search seeded from the new/deleted edge
+    * (Graphflow::AddEdge binds the update edge to every compatible query
+    * edge in both orientations and extends from there,
+    * graphflow.cpp:311-351). Exact: under an injective vertex mapping no
+    * two query edges can map to the same data edge, so the per-position
+    * counts are disjoint and their sum is the total. */
+  def countMatchesThrough(spark: SparkSession, query: QueryGraph,
+                          edges: DataFrame, vertices: DataFrame,
+                          a: Long, b: Long,
+                          homomorphic: Boolean = false): Long = {
+    val rel = relation(edges, vertices).persist()
+    rel.count()
+    val freq = edgeFrequencies(query, rel)
+    var total = 0L
+    query.edges.foreach { qe =>
+      // force qe first in the order, then greedy as usual over the rest
+      val rest = matchingOrder(
+        QueryGraph(query.vertices, Seq(qe) ++ query.edges.filterNot(_ == qe)),
+        freq + (qe -> -1L)) // -1 pins qe as the unconditional first pick
+      Seq((a, b), (b, a)).foreach { case (s, d) =>
+        val seeded = rel.where(col("src") === s && col("dst") === d)
+        val relSeeded = rel // closing/extension edges still scan the graph
+        total += planSeeded(query, relSeeded, seeded, rest, homomorphic)
+          .agg(count(lit(1)).as("n")).head().getLong(0)
+      }
+    }
+    rel.unpersist()
+    total
+  }
+
+  /** plan() with the first edge's relation replaced by the seeded slice. */
+  private def planSeeded(query: QueryGraph, rel: DataFrame, seed: DataFrame,
+                         order: Seq[QEdge], homomorphic: Boolean): DataFrame = {
+    val e0 = order.head
+    val cond = {
+      val el = e0.elabel.map(l => seed("elabel") === l).getOrElse(lit(true))
+      val sl = query.byName(e0.u).vlabel.map(l => seed("slabel") === l).getOrElse(lit(true))
+      val dl = query.byName(e0.v).vlabel.map(l => seed("dlabel") === l).getOrElse(lit(true))
+      el && sl && dl
+    }
+    val first = seed.where(cond)
+      .select(col("src").as(e0.u), col("dst").as(e0.v))
+    continuePlan(query, rel, first, Vector(e0.u, e0.v), order.tail, homomorphic)
+  }
+
+  /** Extend a partial-match relation through the remaining ordered edges
+    * (no flags/candidates — the seeded path). */
+  private def continuePlan(query: QueryGraph, rel: DataFrame, partial0: DataFrame,
+                           bound0: Vector[String], rest: Seq[QEdge],
+                           homomorphic: Boolean): DataFrame = {
+    var partial = if (homomorphic) partial0
+      else partial0.where(col(bound0(0)) =!= col(bound0(1)))
+    var bound = bound0
+    var i = 0
+    rest.foreach { e =>
+      val alias = s"s$i"
+      val r = {
+        val el = e.elabel.map(l => rel("elabel") === l).getOrElse(lit(true))
+        val sl = query.byName(e.u).vlabel.map(l => rel("slabel") === l).getOrElse(lit(true))
+        val dl = query.byName(e.v).vlabel.map(l => rel("dlabel") === l).getOrElse(lit(true))
+        // orient the filter to however this edge joins below
+        if (bound.contains(e.u)) rel.where(el && sl && dl).as(alias)
+        else rel.select(col("dst").as("src"), col("src").as("dst"),
+          col("elabel"), col("dlabel").as("slabel"), col("slabel").as("dlabel"))
+          .where(el && sl && dl).as(alias)
+      }
+      if (bound.contains(e.u) && bound.contains(e.v)) {
+        partial = partial.join(r,
+          partial(e.u) === col(s"$alias.src") && partial(e.v) === col(s"$alias.dst"),
+          "left_semi")
+      } else {
+        val (known, newV) = if (bound.contains(e.u)) (e.u, e.v) else (e.v, e.u)
+        val joined = partial.join(r, partial(known) === col(s"$alias.src"))
+        val inj =
+          if (homomorphic) joined
+          else joined.where(bound.map(b => col(s"$alias.dst") =!= partial(b))
+            .reduce(_ && _))
+        partial = inj.select(
+          bound.map(partial(_)) :+ col(s"$alias.dst").as(newV): _*)
+        bound = bound :+ newV
+      }
+      i += 1
+    }
+    partial
+  }
+
   /** The left-deep join plan over an ordered edge list. */
   private def plan(query: QueryGraph, rel: DataFrame, order: Seq[QEdge],
                    homomorphic: Boolean, carryFlag: Boolean,

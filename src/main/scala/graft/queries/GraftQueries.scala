@@ -131,6 +131,20 @@ object GraftQueries {
       val (e, v) = labeledParts(s, d)
       GraphMatcher.countMatches(s, QueryGraph.clique(4, vlabel = Some(1)), e, v)
     }),
+    "q_match_path3_idx" -> ((s, d) => {
+      // same query THROUGH the candidate-pruning index (X2 semi-join
+      // reduction) — shares q_match_path3's oracle, so the pruned plan is
+      // oracle-gated to be exactly result-preserving
+      import graft.matching.{CandidateIndex, GraphMatcher, QueryGraph}
+      val (e, v) = labeledParts(s, d)
+      val q = QueryGraph.path(
+        vlabels = Seq(Some(0), Some(1), Some(2)),
+        elabels = Seq(Some(1), Some(2)))
+      val cand = CandidateIndex.build(s, q, e, v, rounds = 2)
+      GraphMatcher.findMatches(s, q, e, v, candidates = Some(cand))
+        .groupBy(col("u1")).agg(count(lit(1)).as("n"))
+        .orderBy("u1")
+    }),
     // incremental (delta-join) triangle maintenance: J3/J4 positive/negative
     // counters; the oracle recomputes all three graph versions from scratch
     "q_tri_delta" -> ((s, d) => {
@@ -548,6 +562,14 @@ object GraftQueries {
     // labeled 3-path embeddings grouped by the first vertex: 2-way self-join
     // of the labeled relation with label filters + the injectivity predicate
     "q_match_path3" -> (s"WITH $labeledRelCte, " +
+      "m AS (SELECT r1.src AS u1, r1.dst AS u2, r2.dst AS u3 " +
+      "FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +
+      "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src) " +
+      "SELECT u1, count(*) AS n FROM m GROUP BY u1 ORDER BY u1"),
+
+    // identical result contract through the candidate index
+    "q_match_path3_idx" -> (s"WITH $labeledRelCte, " +
       "m AS (SELECT r1.src AS u1, r1.dst AS u2, r2.dst AS u3 " +
       "FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
       "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +

@@ -20,7 +20,8 @@ final case class SnapshotManifest(
     deltaLinf: Double,
     changed: Long,
     wallMs: Long,
-    partitions: Seq[PartitionLineage]) {
+    partitions: Seq[PartitionLineage],
+    byteSize: Long = 0L) {
 
   def toJson: String = {
     val parts = partitions
@@ -28,7 +29,7 @@ final case class SnapshotManifest(
       .mkString("[", ",", "]")
     s"""{"name":"$name","iteration":$iteration,"rowCount":$rowCount,""" +
       s""""deltaL1":$deltaL1,"deltaLinf":$deltaLinf,"changed":$changed,""" +
-      s""""wallMs":$wallMs,"partitions":$parts}"""
+      s""""wallMs":$wallMs,"byteSize":$byteSize,"partitions":$parts}"""
   }
 }
 
@@ -69,8 +70,15 @@ final class StateStore(val root: String) {
       .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => PartitionLineage(r.getInt(0), r.getLong(1)))
       .sortBy(_.partitionId).toSeq
+    // memory/storage-cost aggregate (reference counters report peak RSS,
+    // utils/utils.h:38-67; here: exact on-disk snapshot bytes)
+    val byteSize = {
+      val s = Files.walk(dataTmp)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    }
     val manifest = SnapshotManifest(name, iteration, perPart.map(_.rowCount).sum,
-      deltaL1, deltaLinf, changed, wallMs, perPart)
+      deltaL1, deltaLinf, changed, wallMs, perPart, byteSize)
 
     // Commit protocol: data first, manifest last, then atomic dir rename.
     Files.writeString(tmp.resolve("manifest.json"), manifest.toJson)

@@ -146,6 +146,20 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("countMatchesThrough: per-update seeded delta equals count difference") {
+    val (verts, edges) = randomLabeled(13, n = 12, m = 30)
+    val (eDF, vDF) = toDfs(verts, edges)
+    // pick an edge that actually participates in triangles if possible
+    val e = edges.head
+    for ((name, q) <- Seq("triangle" -> QueryGraph.triangle,
+      "path3-wild" -> QueryGraph.path(Seq(None, None, None), Seq(None, None)))) {
+      val through = GraphMatcher.countMatchesThrough(spark, q, eDF, vDF, e._1, e._2)
+      val without = brute(q, verts, edges - e)
+      val all = brute(q, verts, edges)
+      assert(through == all - without, s"$name: $through vs ${all - without}")
+    }
+  }
+
   test("classifier: signature-miss updates are safe and route to no query") {
     import spark.implicits._
     val (verts, edges) = randomLabeled(3)
