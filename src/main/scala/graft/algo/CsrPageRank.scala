@@ -52,7 +52,7 @@ object CsrPageRank {
       deltaL1: Double,
       deltaLinf: Double)
 
-  final case class Msg(pid: Int, idx: Array[Int], sums: Array[Double])
+  final case class Msg(pid: Int, srcPid: Int, idx: Array[Int], sums: Array[Double])
 
   final case class Blocks(graph: Dataset[GraphBlock], verts: Dataset[VertsBlock],
                           init: Dataset[RankBlock], n: Long, p: Int)
@@ -260,18 +260,27 @@ object CsrPageRank {
       metrics += SuperstepMetrics(it, wallMs, blocks.n, l1, linf, 0L)
       if (chkPrev != null) chkPrev.unpersist()
       chkPrev = chk
-      // Rewrap the checkpointed RDD in a fresh Dataset: joinWith/cogroup are
-      // inner-join-shaped, and Catalyst's size-only stats visitor estimates
-      // them as the PRODUCT of the children; localCheckpoint preserves
-      // origin stats across the lineage cut, so without this reset the
-      // BigInt sizeInBytes squares every superstep and the driver drowns in
-      // BigInteger math by iteration ~20 (same trap as PageRank.superstep).
-      state = spark.createDataset(chk.rdd)
+      // Clear the origin stats the checkpoint copies into the LogicalRDD:
+      // the message stream and the merge both derive from state, so the
+      // size-only estimate would otherwise SQUARE per superstep and the
+      // driver melts in BigInteger.multiply by ~iteration 20 (observed
+      // directly via jstack). The shim also preserves the physical
+      // partitioning — cheap insurance even though cogroup's synthesized
+      // grouping key forces its own exchange.
+      state = org.apache.spark.sql.execution.GraftShims
+        .freshStatsPreservePartitioning(chk)
     }
     (state, it, metrics.toSeq)
   }
 
-  /** One superstep over blocks. */
+  /** One superstep over blocks. An alternative "exchange-free" formulation
+    * (state kept hash-partitioned by pid, messages collect_list'ed and
+    * merged via co-partitioned left-outer joins) was measured 37% SLOWER at
+    * every parallelism level — materializing each block's in-messages as
+    * one ~32 MB Tungsten array value costs more than the state exchange it
+    * saves — so the shipped shape is joinWith + cogroup, with the state
+    * shuffle accepted as part of C (it parallelizes; at 80M vertices the
+    * whole state is ~700 MB against a ~2 GB message exchange). */
   def superstep(spark: SparkSession, graph: Dataset[GraphBlock],
                 state: Dataset[RankBlock], danglingMass: Double,
                 damping: Double, n: Double): Dataset[RankBlock] = {
@@ -307,7 +316,7 @@ object CsrPageRank {
             idxB += dIdx
             sumB += s
           }
-          out += Msg(dPid, idxB.result(), sumB.result())
+          out += Msg(dPid, g.pid, idxB.result(), sumB.result())
         }
         out.result()
       }
@@ -316,7 +325,10 @@ object CsrPageRank {
       val prev = rs.next()
       val nV = prev.ranks.length
       val acc = new Array[Double](nV)
-      ms.foreach { msg =>
+      // sort in-messages by source block before accumulating: float
+      // addition order is then deterministic across runs AND parallelism
+      // levels (north-rule determinism), not shuffle-arrival order
+      ms.toArray.sortBy(_.srcPid).foreach { msg =>
         var i = 0
         while (i < msg.idx.length) { acc(msg.idx(i)) += msg.sums(i); i += 1 }
       }
