@@ -141,7 +141,11 @@ object Bench {
       .filterNot { case (n, _) => excluded(n) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // per-query guard: a hung query must not eat the scaling section's
+        // budget (job-group cancellation, P9)
+        try graft.util.Limits.runWithTimeout(spark, s"bench-$name", 600000L) {
+          fn(spark, sfDir).count()
+        } catch { case _: Throwable => () }
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-22s $secs%8.2fs")
         name -> secs

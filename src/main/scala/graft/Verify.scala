@@ -15,10 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall-clock guard (graft.util.Limits = job-group
+    // cancellation): one hung query must not zero the whole round
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "900000").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val done = graft.util.Limits.runWithTimeout(spark, s"verify-$name", timeoutMs) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        if (done.isEmpty)
+          System.err.println(s"[verify] $name timed out after ${timeoutMs}ms (cancelled)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -140,6 +140,33 @@ object GraphMatcher {
     matches.where(anyNew).agg(count(lit(1)).as("delta_matches"))
   }
 
+  /** Pruning-funnel diagnostics (G3): partial-match cardinality after each
+    * join stage of the selectivity order — the reference's per-stage counter
+    * report, as a small driver-side table. One count job per stage, so this
+    * is a DEBUG surface, not a hot path. Rows: (stage, edge, kind, rows). */
+  def matchingFunnel(spark: SparkSession, query: QueryGraph,
+                     edges: DataFrame, vertices: DataFrame,
+                     homomorphic: Boolean = false): Seq[(Int, String, String, Long)] = {
+    val rel = relation(edges, vertices).persist()
+    rel.count()
+    val order = matchingOrder(query, edgeFrequencies(query, rel))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var bound = Vector(order.head.u, order.head.v)
+    for (k <- 1 to order.size) {
+      val prefix = order.take(k)
+      val kind =
+        if (k == 1) "seed"
+        else if (bound.contains(prefix.last.u) && bound.contains(prefix.last.v)) "closing"
+        else "extend"
+      if (k > 1 && kind == "extend")
+        bound = bound :+ (if (bound.contains(prefix.last.u)) prefix.last.v else prefix.last.u)
+      val n = plan(query, rel, prefix, homomorphic, carryFlag = false, None).count()
+      out += ((k, s"${prefix.last.u}-${prefix.last.v}", kind, n))
+    }
+    rel.unpersist()
+    out.toSeq
+  }
+
   /** Count matches whose image CONTAINS the single edge (a, b) — the
     * reference's per-update delta search seeded from the new/deleted edge
     * (Graphflow::AddEdge binds the update edge to every compatible query

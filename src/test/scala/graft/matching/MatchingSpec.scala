@@ -146,6 +146,22 @@ class MatchingSpec extends SparkSpec {
     }
   }
 
+  test("matchingFunnel: stage counts are a monotone-for-closing funnel ending at the match count") {
+    val (verts, edges) = randomLabeled(21, n = 12, m = 30)
+    val (eDF, vDF) = toDfs(verts, edges)
+    val q = QueryGraph.triangle
+    val funnel = GraphMatcher.matchingFunnel(spark, q, eDF, vDF)
+    assert(funnel.size == q.edges.size)
+    val total = GraphMatcher.countMatches(spark, q, eDF, vDF).head().getLong(0)
+    assert(funnel.last._4 == total,
+      s"funnel end ${funnel.last._4} vs total $total")
+    // a closing stage can only shrink the previous stage
+    funnel.sliding(2).foreach {
+      case Seq(a, b) if b._3 == "closing" => assert(b._4 <= a._4)
+      case _ => ()
+    }
+  }
+
   test("countMatchesThrough: per-update seeded delta equals count difference") {
     val (verts, edges) = randomLabeled(13, n = 12, m = 30)
     val (eDF, vDF) = toDfs(verts, edges)
