@@ -98,6 +98,11 @@ object Bfs {
       }
     }
     und.unpersist()
+    // an operator named "exact" must not silently return a truncated value:
+    // a frontier still alive at the depth cutoff means diameter > maxDepth
+    require(n == 0,
+      s"diameterExact truncated at maxDepth=$maxDepth with a live frontier " +
+        s"($n rows) — raise maxDepth (diameter exceeds it)")
     maxSeen
   }
 }

@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
 object TriangleCount {
 
   /** Canonically-oriented edge set: src precedes dst in (degree, id) order.
-    * `und` is persisted — the degree pass and the orientation join both read
-    * it, and upstream `edges` is often an expensive derivation (re-running
-    * it 3x dominated q_triangles' round-1 cost). */
+    * `und` is materialized (localCheckpoint, GC-cleaned — a bare persist
+    * would live in the session CacheManager forever, a leak on streaming
+    * callers) — the degree pass and the orientation join both read it, and
+    * upstream `edges` is often an expensive derivation (re-running it 3x
+    * dominated q_triangles' round-1 cost). */
   def orient(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
-      .persist()
+      .localCheckpoint(true)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val withDeg = und
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
@@ -46,8 +48,7 @@ object TriangleCount {
 
   /** Total triangle count (scalar DataFrame with one column `triangles`). */
   def countTriangles(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val o = orient(edges).persist()
-    o.count()
+    val o = orient(edges).localCheckpoint(true)
     val e1 = o.as("e1")
     val e2 = o.as("e2")
     val wedges = e1.join(e2, col("e1.dst") === col("e2.src"))
@@ -61,8 +62,7 @@ object TriangleCount {
   /** Per-vertex triangle participation counts (id, triangles) — every vertex
     * of each oriented triangle a→b→c gets +1. */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val o = orient(edges).persist()
-    o.count()
+    val o = orient(edges).localCheckpoint(true)
     val e1 = o.as("e1")
     val e2 = o.as("e2")
     val tris = e1.join(e2, col("e1.dst") === col("e2.src"))

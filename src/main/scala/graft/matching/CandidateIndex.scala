@@ -5,73 +5,186 @@ import org.apache.spark.sql.functions._
 
 /** Candidate-pruning index: the DCS-family semi-join reduction (reference
   * SymBi::BuildDCS, ParaCOSM/CSM/matching/SymBi/symbi.cpp:259-372; CaLiG's
-  * candidate bitmaps, calig.cpp:246-271) as materialized per-query-vertex
-  * candidate tables.
+  * candidate bitmaps, calig.cpp:246-271) as ONE materialized (qv, id) table
+  * per pruning round.
   *
-  * Base set for query vertex u = data vertices with u's label. One pruning
-  * round: u keeps v iff for EVERY query edge (u,u'), v has at least one
-  * neighbor (via a matching edge label) in the CURRENT candidate set of u'.
-  * Rounds iterate to fixpoint (bounded) — repeated semi-join reduction, the
-  * tabular form of the reference's top-down/bottom-up DCS passes. The index
-  * can only shrink, so feeding it to GraphMatcher (candidates option) is
-  * always sound and only prunes.
+  * Base set (round 0) for query vertex u = data vertices with u's label.
+  * One pruning round: u keeps v iff for EVERY query edge (u,u'), v has at
+  * least one neighbor (via a matching edge label) in the PREVIOUS round's
+  * candidate set of u'. Rounds iterate a bounded number of times — repeated
+  * semi-join reduction, the tabular form of the reference's
+  * top-down/bottom-up DCS passes. Stopping early keeps a SUPERSET of the
+  * true candidates, so feeding the last round to GraphMatcher is always
+  * sound and only prunes.
   *
-  * Incremental maintenance (X3's counter propagation) is represented by
-  * `rebuildAfter`: recompute bounded rounds from the previous index instead
-  * of from label scans — sound for edge DELETES (candidates only shrink);
-  * edge adds require a fresh build (documented, like the reference's
-  * insertion queues but without per-counter state).
+  * Cost shape (fixed in round 3 — the round-2 build ran per-vertex eager
+  * checkpoints and per-vertex count() jobs per round, costing 10x the query
+  * it pruned): each round is |incidences| semi-joins funneled into ONE
+  * groupBy-count aggregation and ONE checkpoint; the relation is built once
+  * by the caller and shared with the join plan (GraphMatcher
+  * .findMatchesIndexed).
+  *
+  * Incremental maintenance (X3, the reference's InsertionTopDown/BottomUp
+  * counter propagation, symbi.cpp:404-468):
+  *  - edge ADDS (`refreshAfterAdds`): candidacy is MONOTONE under adds, and
+  *    a vertex can join round-r candidacy only if its round-(r-1) support
+  *    changed — i.e. it touches a delta edge, is a new vertex, or neighbors
+  *    a round-(r-1) gainer. So evaluating only the propagating FRONTIER
+  *    (endpoints of delta, then neighbors of gainers) against the stored
+  *    per-round sets reproduces the full rebuild EXACTLY while touching
+  *    O(|delta| * deg^rounds) vertices instead of |V|.
+  *  - edge/vertex DELETES (`refreshAfterDeletes`): candidacy only shrinks;
+  *    re-prune the previous sets against the post-delete relation (cost
+  *    proportional to the index, not the graph).
   */
 object CandidateIndex {
 
-  /** Build candidate sets (query vertex name -> DataFrame(id)) by iterated
-    * semi-join pruning. `rounds` bounds the fixpoint loop; each round costs
-    * one semi-join per query edge direction. */
-  def build(spark: SparkSession, query: QueryGraph,
-            edges: DataFrame, vertices: DataFrame, rounds: Int = 2): Map[String, DataFrame] = {
-    val rel = GraphMatcher.relation(edges, vertices).persist()
-    rel.count()
-    val vl = vertices.select(col("id"), col("vlabel"))
-
-    var cand: Map[String, DataFrame] = query.vertices.map { qv =>
-      val base = qv.vlabel match {
-        case Some(l) => vl.where(col("vlabel") === l).select(col("id"))
-        case None => vl.select(col("id"))
-      }
-      qv.name -> base.localCheckpoint(true)
+  /** Per-round candidate tables, each a (qv: String, id: Long) DataFrame
+    * (round 0 = label base, last = the index GraphMatcher consumes). */
+  final case class Index(query: QueryGraph, perRound: Vector[DataFrame]) {
+    def rounds: Int = perRound.size - 1
+    def candidates: Map[String, DataFrame] = query.vertices.map { v =>
+      v.name -> perRound.last.where(col("qv") === v.name).select(col("id"))
     }.toMap
-
-    var round = 0
-    var changed = true
-    var sizes: Map[String, Long] = cand.map { case (k, df) => k -> df.count() }
-    while (round < rounds && changed) {
-      val next = query.vertices.map { qv =>
-        var c = cand(qv.name)
-        query.edges.filter(e => e.u == qv.name || e.v == qv.name).foreach { e =>
-          val other = if (e.u == qv.name) e.v else e.u
-          val el = e.elabel.map(l => col("elabel") === l).getOrElse(lit(true))
-          // v survives if some neighbor via a matching edge label is a
-          // candidate for `other`: semi-join rel against cand(other) on dst,
-          // keep the src side
-          val support = rel.where(el)
-            .join(cand(other).select(col("id").as("dst")), Seq("dst"), "left_semi")
-            .select(col("src").as("id"))
-          c = c.join(support, Seq("id"), "left_semi")
-        }
-        qv.name -> c.localCheckpoint(true)
-      }.toMap
-      val nextSizes = next.map { case (k, df) => k -> df.count() }
-      changed = nextSizes != sizes
-      sizes = nextSizes
-      cand = next
-      round += 1
-    }
-    rel.unpersist()
-    cand
+    /** (qv -> size) of the final round — one aggregate job. */
+    def sizes: Map[String, Long] =
+      perRound.last.groupBy(col("qv")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  /** Shrink-only refresh after deletes: prune the previous index against the
-    * post-delete graph (sound because deletes can only remove candidates). */
+  /** Directed incidences (u, other, elabel, tag) of the query graph. */
+  private def incidences(q: QueryGraph): Seq[(String, String, Option[Int], Int)] =
+    q.edges.zipWithIndex.flatMap { case (e, i) =>
+      Seq((e.u, e.v, e.elabel, 2 * i), (e.v, e.u, e.elabel, 2 * i + 1))
+    }
+
+  /** Round-0 label base as one tagged table. */
+  private def labelBase(q: QueryGraph, vertices: DataFrame): DataFrame =
+    q.vertices.map { qv =>
+      val base = qv.vlabel match {
+        case Some(l) => vertices.where(col("vlabel") === l)
+        case None => vertices
+      }
+      base.select(lit(qv.name).as("qv"), col("id"))
+    }.reduce(_ union _)
+
+  /** One pruning round: survivors of `evalSet` (qv, id) against `prev`,
+    * using only edges whose src is in `srcScope` (None = whole relation).
+    * Returns (qv, id) rows whose every incident query edge has support. */
+  private def pruneRound(q: QueryGraph, rel: DataFrame, prev: DataFrame,
+                         evalSet: DataFrame, srcScope: Option[DataFrame]): DataFrame = {
+    val relScoped = srcScope match {
+      case Some(s) => rel.join(s.select(col("id").as("src")), Seq("src"), "left_semi")
+      case None => rel
+    }
+    val supports = incidences(q).map { case (u, other, elabel, tag) =>
+      val el = elabel.map(l => col("elabel") === l).getOrElse(lit(true))
+      relScoped.where(el)
+        .join(prev.where(col("qv") === other).select(col("id").as("dst")),
+          Seq("dst"), "left_semi")
+        .select(col("src").as("id"), lit(u).as("qv"), lit(tag).as("etag"))
+    }.reduce(_ union _)
+    val reqDf = q.vertices.map(v => (v.name, q.degree(v.name).toLong))
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val req = broadcast(reqDf.toDF("qv", "req"))
+    supports
+      .join(evalSet.select(col("qv"), col("id")), Seq("qv", "id"), "left_semi")
+      .groupBy(col("qv"), col("id"))
+      .agg(countDistinct(col("etag")).as("nsup"))
+      .join(req, Seq("qv"))
+      .where(col("nsup") === col("req"))
+      .select(col("qv"), col("id"))
+  }
+
+  /** Build over a pre-materialized relation (share it with the join plan!). */
+  def buildOnRel(spark: SparkSession, query: QueryGraph, rel: DataFrame,
+                 vertices: DataFrame, rounds: Int = 2): Index = {
+    val base = labelBase(query, vertices).localCheckpoint(true)
+    var per = Vector(base)
+    var round = 0
+    while (round < rounds) {
+      val prev = per.last
+      val next = pruneRound(query, rel, prev, prev, None).localCheckpoint(true)
+      per = per :+ next
+      round += 1
+    }
+    Index(query, per)
+  }
+
+  /** Back-compat map view (builds its own relation). */
+  def build(spark: SparkSession, query: QueryGraph,
+            edges: DataFrame, vertices: DataFrame, rounds: Int = 2): Map[String, DataFrame] = {
+    val rel = GraphMatcher.materializedRelation(edges, vertices)
+    buildOnRel(spark, query, rel, vertices, rounds).candidates
+  }
+
+  /** EXACT incremental refresh after edge adds (and optional new vertices):
+    * equals buildOnRel on the post-add graph, but only the propagating
+    * frontier is re-evaluated. Returns the new index plus the per-round
+    * frontier sizes (the O(|delta|)-shape evidence). `relNew` must be the
+    * post-add materialized relation; `verticesNew` the post-add vertex set;
+    * `addedEdges` the (src, dst) delta. */
+  def refreshAfterAdds(spark: SparkSession, query: QueryGraph, relNew: DataFrame,
+                       verticesNew: DataFrame, prev: Index,
+                       addedEdges: DataFrame): (Index, Seq[Long]) = {
+    val endpoints = addedEdges.select(col("src").as("id"))
+      .union(addedEdges.select(col("dst").as("id"))).distinct()
+    val newVerts = verticesNew.select(col("id"))
+      .join(prev.perRound(0).select(col("id")).distinct(), Seq("id"), "left_anti")
+    val seedIds = endpoints.union(newVerts).distinct().localCheckpoint(true)
+
+    // round 0: label base only grows by genuinely new vertices
+    val baseDiff = labelBase(query, verticesNew)
+      .join(seedIds, Seq("id"), "left_semi")
+      .join(prev.perRound(0), Seq("qv", "id"), "left_anti")
+      .localCheckpoint(true)
+    var per = Vector(prev.perRound(0).union(baseDiff).localCheckpoint(true))
+    var frontierIds = seedIds
+    val frontierSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    (1 to prev.rounds).foreach { r =>
+      frontierSizes += frontierIds.count()
+      // evaluate every (qv, frontier id) from scratch against round r-1
+      val evalPairs = query.vertices.map(v => frontierIds.select(lit(v.name).as("qv"), col("id")))
+        .reduce(_ union _)
+      val survivors = pruneRound(query, relNew, per(r - 1), evalPairs,
+          srcScope = Some(frontierIds))
+        .join(per.head, Seq("qv", "id"), "left_semi") // label check (round 0)
+      val diff = survivors.join(prev.perRound(r), Seq("qv", "id"), "left_anti")
+        .localCheckpoint(true)
+      per = per :+ prev.perRound(r).union(diff).localCheckpoint(true)
+      // next frontier: whoever neighbors a gainer (plus the seeds again —
+      // a seed may gain candidacy only at a later round)
+      val gainerIds = diff.select(col("id")).distinct()
+      frontierIds = relNew
+        .join(gainerIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src").as("id"))
+        .union(seedIds).distinct().localCheckpoint(true)
+    }
+    (Index(query, per), frontierSizes.toSeq)
+  }
+
+  /** Shrink-only refresh after deletes: re-prune the previous per-round sets
+    * against the post-delete relation (sound: deletes only remove support,
+    * and intersecting with the old sets keeps the rounds monotone). */
+  def refreshAfterDeletes(spark: SparkSession, query: QueryGraph, relNew: DataFrame,
+                          verticesNew: DataFrame, prev: Index): Index = {
+    val live = verticesNew.select(col("id"))
+    var per = Vector(prev.perRound(0).join(live, Seq("id"), "left_semi")
+      .localCheckpoint(true))
+    (1 to prev.rounds).foreach { r =>
+      val evalSet = prev.perRound(r).join(live, Seq("id"), "left_semi")
+      val next = pruneRound(query, relNew, per(r - 1), evalSet, None)
+        .join(evalSet, Seq("qv", "id"), "left_semi")
+        .localCheckpoint(true)
+      per = per :+ next
+    }
+    Index(query, per)
+  }
+
+  /** Deprecated round-2 surface: shrink-only refresh via full rebuild +
+    * intersect. Kept for API compatibility; prefer refreshAfterDeletes. */
   def rebuildAfter(spark: SparkSession, query: QueryGraph,
                    edges: DataFrame, vertices: DataFrame,
                    prev: Map[String, DataFrame], rounds: Int = 1): Map[String, DataFrame] = {

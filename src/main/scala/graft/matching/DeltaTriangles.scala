@@ -1,6 +1,6 @@
 package graft.matching
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental (delta-join) triangle count maintenance — J3/J4: the
@@ -12,74 +12,112 @@ import org.apache.spark.sql.functions._
   * Batched delta with exact once-per-triangle counting: the reference
   * processes one update at a time, so a new triangle trivially contains
   * exactly one new edge; a BATCH of delta edges can form triangles with 2-3
-  * delta edges, which naive per-edge seeding would double count. We assign
-  * every delta edge a distinct finite rank (non-delta edges rank = +inf) and
-  * charge each triangle to its MINIMUM-rank delta edge: seed from each delta
-  * edge (a,b), close the wedge through both incident edges, and require both
-  * other edges' ranks to be strictly larger. Each new/dead triangle is then
-  * counted exactly once, and the join has the scale-right shape
-  * |Δ| ⋈ E ⋈ E (delta-seeded, never a full re-enumeration).
+  * delta edges, which naive per-edge seeding would double count. We charge
+  * each triangle to its LEXICOGRAPHICALLY-SMALLEST delta edge: seed from
+  * each delta edge (a,b) with canonical key k0 = struct(lo,hi), close the
+  * wedge through both incident edges, and require every OTHER delta edge in
+  * the triangle to have a strictly larger key (non-delta edges always pass).
+  * Each new/dead triangle is then counted exactly once, the join has the
+  * scale-right shape |Δ| ⋈ E ⋈ E (delta-seeded, never a full
+  * re-enumeration), and — unlike a row_number over an un-partitioned
+  * Window — nothing ever funnels through a single-task global sort: the key
+  * IS the edge's own (lo,hi), no ranking pass exists at all.
   *
-  * positive = trianglesTouching(E_after_adds, Δadd)
-  * negative = trianglesTouching(E_before_deletes, Δdel)
+  * positive = touching(E_after_adds, Δadd)
+  * negative = touching(E_after_adds, Δdel)   (adds applied first, dels ⊆ that)
   * newCount = oldCount + positive − negative (G2's counters).
   */
 object DeltaTriangles {
 
-  /** Count triangles of `edges` (undirected, canonical or not) that contain
-    * at least one edge of `delta`, each counted once. Both inputs are
-    * (src,dst) pairs; delta must be a subset of edges. */
+  private def canon(df: DataFrame): DataFrame = df.select(
+    least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+    .where(col("lo") =!= col("hi")).distinct()
+
+  /** Symmetric relation of `edges` with per-edge canonical key `k` and the
+    * delta flags of `marks` (flag column names -> canonical delta sets). */
+  private def flaggedRel(edges: DataFrame, marks: Seq[(String, DataFrame)]): DataFrame = {
+    var m = canon(edges)
+    marks.foreach { case (flag, d) =>
+      m = m.join(canon(d).withColumn(flag, lit(true)), Seq("lo", "hi"), "left_outer")
+    }
+    val marked = marks.foldLeft(m) { case (df, (flag, _)) =>
+      df.withColumn(flag, coalesce(col(flag), lit(false)))
+    }
+    val flagCols = marks.map(x => col(x._1))
+    marked.select(Seq(col("lo").as("src"), col("hi").as("dst"),
+        struct(col("lo"), col("hi")).as("k")) ++ flagCols: _*)
+      .union(marked.select(Seq(col("hi").as("src"), col("lo").as("dst"),
+        struct(col("lo"), col("hi")).as("k")) ++ flagCols: _*))
+  }
+
+  /** Count triangles of `edges` containing >= 1 edge of each delta set, one
+    * aggregate per delta set, all in ONE wedge-join job over one persisted
+    * relation. Returns counts aligned with `deltas`. */
+  def countTouchingAll(spark: SparkSession, edges: DataFrame,
+                       deltas: Seq[DataFrame]): Seq[Long] = {
+    if (deltas.isEmpty) return Seq.empty
+    val flags = deltas.indices.map(i => s"_d$i")
+    val rel = flaggedRel(edges, flags.zip(deltas)).persist()
+    try {
+      // seeds: one tagged row per (delta set, canonical delta edge)
+      val anyFlag = flags.map(col).reduce(_ || _)
+      val base = rel.where(col("src") < col("dst") && anyFlag)
+      val seed = flags.zipWithIndex.map { case (f, i) =>
+        base.where(col(f)).select(col("src").as("a"), col("dst").as("b"),
+          col("k").as("k0"), lit(i).as("tag"))
+      }.reduce(_ union _)
+      val viaA = rel.select(Seq(col("src").as("a"), col("dst").as("c"),
+        col("k").as("k1")) ++ flags.map(f => col(f).as(s"${f}_1")): _*)
+      val viaB = rel.select(Seq(col("src").as("b2"), col("dst").as("c2"),
+        col("k").as("k2")) ++ flags.map(f => col(f).as(s"${f}_2")): _*)
+      // per-tag charging: only delta edges OF THE SEED'S OWN SET compete on k
+      def pass(side: Int, kCol: Column): Column =
+        flags.zipWithIndex.map { case (f, i) =>
+          (col("tag") === i) && (!col(s"${f}_$side") || (kCol > col("k0")))
+        }.reduce(_ || _)
+      val tri = seed
+        .join(viaA, Seq("a"))
+        .where(col("c") =!= col("b") && pass(1, col("k1")))
+        .join(viaB, col("b") === col("b2") && col("c") === col("c2"))
+        .where(pass(2, col("k2")))
+      val aggs = flags.indices.map(i =>
+        sum(when(col("tag") === i, 1L).otherwise(0L)).as(s"n$i"))
+      val row = tri.agg(aggs.head, aggs.tail: _*).head()
+      flags.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+    } finally { rel.unpersist(); () }
+  }
+
+  /** Count of triangles of `edges` (undirected, any orientation) containing
+    * at least one edge of `delta`, each counted once. */
+  def countTouching(spark: SparkSession, edges: DataFrame, delta: DataFrame): Long =
+    countTouchingAll(spark, edges, Seq(delta)).head
+
+  /** DataFrame wrapper kept for query surfaces (column `touching`). */
   def trianglesTouching(spark: SparkSession, edges: DataFrame, delta: DataFrame): DataFrame = {
-    // canonical undirected edge key (lo,hi); ranks only for delta edges
-    def canon(df: DataFrame): DataFrame = df.select(
-      least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
-      .where(col("lo") =!= col("hi")).distinct()
-
-    val e = canon(edges).persist()
-    val d = canon(delta)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("lo"), col("hi"))).cast("long"))
-    // ranked relation, both directions: rank = +inf (Long.MaxValue) if not delta
-    val ranked = e.join(d, Seq("lo", "hi"), "left_outer")
-      .withColumn("rank", coalesce(col("rank"), lit(Long.MaxValue)))
-    val rel = ranked.select(col("lo").as("src"), col("hi").as("dst"), col("rank"))
-      .union(ranked.select(col("hi").as("src"), col("lo").as("dst"), col("rank")))
-      .persist()
-    rel.count()
-
-    // seed = delta edge (a,b) with rank r (one canonical orientation);
-    // close through c adjacent to BOTH a and b with strictly larger ranks —
-    // ties impossible (ranks are distinct; +inf only on non-delta edges,
-    // and a delta edge never compares against itself here)
-    val seed = rel.where(col("rank") =!= Long.MaxValue)
-      .where(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"), col("rank").as("r0"))
-    val viaA = rel.select(col("src").as("a"), col("dst").as("c"), col("rank").as("r1"))
-    val viaB = rel.select(col("src").as("b2"), col("dst").as("c2"), col("rank").as("r2"))
-    val tri = seed
-      .join(viaA, Seq("a"))
-      .where(col("c") =!= col("b") && col("r1") > col("r0"))
-      .join(viaB, col("b") === col("b2") && col("c") === col("c2"))
-      .where(col("r2") > col("r0"))
-    val out = tri.agg(count(lit(1)).as("touching"))
-    out
+    val s2 = spark
+    import s2.implicits._
+    Seq(countTouching(spark, edges, delta)).toDF("touching")
   }
 
   /** Full maintenance step: from `base` edges apply `adds` then `dels`
     * (disjoint sets), return one row
-    * (t_old, positive, negative, t_new = t_old + pos − neg). */
+    * (t_old, positive, negative, t_new = t_old + pos − neg).
+    * `tOld` lets a caller that already maintains the running count (G2's
+    * counters — e.g. StreamGraph) skip the one from-scratch count; when
+    * absent it is computed once from `base`. positive and negative share ONE
+    * delta-join job over one persisted flagged relation. */
   def maintain(spark: SparkSession, base: DataFrame, adds: DataFrame,
-               dels: DataFrame): DataFrame = {
+               dels: DataFrame, tOld: Option[Long] = None): DataFrame = {
     import graft.algo.TriangleCount
     val afterAdds = base.select(col("src"), col("dst"))
       .union(adds.select(col("src"), col("dst"))).dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    val tOld = TriangleCount.countTriangles(spark, base).head().getLong(0)
-    val pos = trianglesTouching(spark, afterAdds, adds).head().getLong(0)
-    val neg = trianglesTouching(spark, afterAdds, dels).head().getLong(0)
+    val t0 = tOld.getOrElse(
+      TriangleCount.countTriangles(spark, base).head().getLong(0))
+    val Seq(pos, neg) = countTouchingAll(spark, afterAdds, Seq(adds, dels))
     val spark2 = spark
     import spark2.implicits._
-    Seq((tOld, pos, neg, tOld + pos - neg))
+    Seq((t0, pos, neg, t0 + pos - neg))
       .toDF("t_old", "positive", "negative", "t_new")
   }
 }

@@ -57,13 +57,23 @@ object MatchClassifier {
         Seq("id1"), "left_outer")
       .join(vl.withColumnRenamed("id", "id2").withColumnRenamed("vlabel", "l2"),
         Seq("id2"), "left_outer")
-      .withColumn("lo", least(col("l1"), col("l2")))
-      .withColumn("hi", greatest(col("l1"), col("l2")))
+      // least/greatest SKIP nulls, which would silently substitute the one
+      // known label for both slots — if either endpoint label is unknown the
+      // whole signature must go wildcard (null), see the join comment below
+      .withColumn("lo", when(col("l1").isNull || col("l2").isNull, lit(null))
+        .otherwise(least(col("l1"), col("l2"))))
+      .withColumn("hi", when(col("l1").isNull || col("l2").isNull, lit(null))
+        .otherwise(greatest(col("l1"), col("l2"))))
 
-    // broadcast the tiny signature table; wildcard (-1) matches anything
+    // broadcast the tiny signature table; wildcard (-1) matches anything.
+    // A NULL endpoint label (vertex unknown to `vertices` — e.g. added
+    // earlier in the same micro-batch or out-of-order CDC) also matches
+    // anything: classifying it safe would be UNSOUND (Classify may only skip
+    // provably result-neutral updates), so unknown labels route to every
+    // query and come out unsafe.
     val hit = u.join(broadcast(sigs),
-        (sigs("sl1") === lit(-1) || sigs("sl1") === col("lo")) &&
-          (sigs("sl2") === lit(-1) || sigs("sl2") === col("hi")) &&
+        (sigs("sl1") === lit(-1) || col("lo").isNull || sigs("sl1") === col("lo")) &&
+          (sigs("sl2") === lit(-1) || col("hi").isNull || sigs("sl2") === col("hi")) &&
           (sigs("selabel") === lit(-1) || sigs("selabel") === col("label")),
         "left_outer")
       .groupBy(col("seq"), col("op"), col("id1"), col("id2"), col("label"))

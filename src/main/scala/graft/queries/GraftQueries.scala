@@ -127,23 +127,41 @@ object GraftQueries {
         .orderBy("u1")
     }),
     "q_match_clique4" -> ((s, d) => {
+      // automorphism breaking (J10 family): enumerate only canonical
+      // embeddings (u1<u2<u3<u4 falls out of the lex-leader predicates) and
+      // multiply by |Aut| = 24 — same ordered-embedding count as the oracle
+      // for 24x less join work
       import graft.matching.{GraphMatcher, QueryGraph}
       val (e, v) = labeledParts(s, d)
-      GraphMatcher.countMatches(s, QueryGraph.clique(4, vlabel = Some(1)), e, v)
+      GraphMatcher.countMatchesAuto(s, QueryGraph.clique(4, vlabel = Some(1)), e, v)
     }),
     "q_match_path3_idx" -> ((s, d) => {
       // same query THROUGH the candidate-pruning index (X2 semi-join
       // reduction) — shares q_match_path3's oracle, so the pruned plan is
-      // oracle-gated to be exactly result-preserving
-      import graft.matching.{CandidateIndex, GraphMatcher, QueryGraph}
+      // oracle-gated to be exactly result-preserving. One materialized
+      // relation is shared between stats, index build and the join plan.
+      import graft.matching.{GraphMatcher, QueryGraph}
       val (e, v) = labeledParts(s, d)
       val q = QueryGraph.path(
         vlabels = Seq(Some(0), Some(1), Some(2)),
         elabels = Seq(Some(1), Some(2)))
-      val cand = CandidateIndex.build(s, q, e, v, rounds = 2)
-      GraphMatcher.findMatches(s, q, e, v, candidates = Some(cand))
+      GraphMatcher.findMatchesIndexed(s, q, e, v, rounds = 2)
         .groupBy(col("u1")).agg(count(lit(1)).as("n"))
         .orderBy("u1")
+    }),
+    "q_match_star" -> ((s, d) => {
+      // hub star counted COMBINATORIALLY (J10/G6, CaLiG shellCand/numAdd):
+      // the three degree-1 leaves are never enumerated — per center the
+      // count is the falling factorial n(n-1)(n-2) of its matching-neighbor
+      // count; the oracle enumerates the same thing as a 3-way self-join
+      import graft.matching.{GraphMatcher, QueryGraph, QVertex, QEdge}
+      val (e, v) = labeledParts(s, d)
+      val star = QueryGraph(
+        Seq(QVertex("u1", Some(1)), QVertex("u2", Some(2)),
+          QVertex("u3", Some(2)), QVertex("u4", Some(2))),
+        Seq(QEdge("u1", "u2"), QEdge("u1", "u3"), QEdge("u1", "u4")))
+      GraphMatcher.countMatchesShell(s, star, e, v)
+        .getOrElse(sys.error("star query must be shell-countable"))
     }),
     // incremental (delta-join) triangle maintenance: J3/J4 positive/negative
     // counters; the oracle recomputes all three graph versions from scratch
@@ -587,6 +605,14 @@ object GraftQueries {
       "JOIN rr ac ON ac.src = a.dst AND ac.dst = c.dst " +
       "JOIN rr bc ON bc.src = b.dst AND bc.dst = c.dst"),
 
+    // label-(1,2,2,2) star, ordered injective count via 3-way self-join —
+    // the Spark side computes it without enumerating a single leaf
+    "q_match_star" -> (s"WITH $labeledRelCte, " +
+      "rr AS MATERIALIZED (SELECT src, dst FROM r WHERE sl = 1 AND dl = 2) " +
+      "SELECT count(*) AS matches FROM rr a " +
+      "JOIN rr b ON b.src = a.src AND b.dst <> a.dst " +
+      "JOIN rr c ON c.src = a.src AND c.dst <> a.dst AND c.dst <> b.dst"),
+
     // from-scratch counts of all three graph versions; the Spark side must
     // reproduce them through the delta joins alone
     "q_tri_delta" -> (s"WITH e AS MATERIALIZED ($copurchaseEdgesSql), " +
@@ -605,7 +631,8 @@ object GraftQueries {
       "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
       "s AS (SELECT min(src) AS id FROM e), " +
       "reach(id, d) AS (SELECT id, 0 FROM s UNION " +
-      "SELECT u.dst, r.d + 1 FROM reach r JOIN u ON u.src = r.id WHERE r.d < 49) " +
+      // r.d < 50 so the oracle can reach depth 50, matching Bfs.depths(maxDepth=50)
+      "SELECT u.dst, r.d + 1 FROM reach r JOIN u ON u.src = r.id WHERE r.d < 50) " +
       "SELECT id, CAST(min(d) AS BIGINT) AS depth FROM reach GROUP BY id ORDER BY id"),
 
     "q_dedup_minhash" -> minhashOracleSql(n = 3, threshold = 0.8, numPerm = 32, bands = 8),
@@ -704,7 +731,9 @@ object GraftQueries {
       "CASE WHEN LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
       "OR epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 " +
       "THEN 1 ELSE 0 END AS new_s FROM events) " +
-      "SELECT user_id, SUM(new_s) AS n_sessions, count(*) AS n_events FROM x " +
+      // CAST: DuckDB SUM(INTEGER) yields HUGEINT (decimal128 over arrow) while
+      // Spark sum(long) is int64 — values agree, wire type must too.
+      "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM x " +
       "GROUP BY user_id ORDER BY user_id")
   )
 }

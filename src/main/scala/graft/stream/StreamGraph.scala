@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{functions, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.graph.GraphUpdate
@@ -45,11 +45,6 @@ final class StreamGraph(spark: SparkSession,
   @volatile var trianglePositive: Long = 0L // G2 counters
   @volatile var triangleNegative: Long = 0L
 
-  private def canon(df: DataFrame): DataFrame = df.select(
-    functions.least(functions.col("src"), functions.col("dst")).as("src"),
-    functions.greatest(functions.col("src"), functions.col("dst")).as("dst"))
-    .where(functions.col("src") =!= functions.col("dst")).distinct()
-
   /** Attach to a streaming Dataset[GraphUpdate]; every micro-batch runs the
     * classify → apply → (maybe) recompute protocol. */
   def start(updates: Dataset[GraphUpdate], trigger: Trigger = Trigger.AvailableNow())
@@ -69,20 +64,22 @@ final class StreamGraph(spark: SparkSession,
           totalUnsafe += nUnsafe
           batchesSeen += 1
           if (maintainTriangles) {
-            val before = canon(e0).localCheckpoint(true)
-            val after = canon(e1).localCheckpoint(true)
-            val added = after.join(before, Seq("src", "dst"), "left_anti")
-              .localCheckpoint(true)
-            val deleted = before.join(after, Seq("src", "dst"), "left_anti")
-              .localCheckpoint(true)
+            // per-batch delta from the batch's OWN ops (broadcast joins,
+            // O(|Δ|) shuffle — round 2 anti-joined the full before/after
+            // tables here, a full-graph pass per micro-batch)
+            val (added0, deleted0) = Updates.edgeDelta(spark, e0, e1, batch)
+            val added = added0.localCheckpoint(true)
+            val deleted = deleted0.localCheckpoint(true)
+            // tri(e1) = tri(e0) + |tri(e1) ∋ added| − |tri(e0) ∋ deleted|:
+            // a created triangle lives in e1 and uses an added edge, a
+            // destroyed one lives in e0 and uses a deleted edge, and the two
+            // sets cannot overlap (one is ⊆ e1-only, the other ⊆ e0-only)
             val pos =
               if (added.limit(1).count() == 0) 0L
-              else graft.matching.DeltaTriangles
-                .trianglesTouching(spark, after, added).head().getLong(0)
+              else graft.matching.DeltaTriangles.countTouching(spark, e1, added)
             val neg =
               if (deleted.limit(1).count() == 0) 0L
-              else graft.matching.DeltaTriangles
-                .trianglesTouching(spark, before, deleted).head().getLong(0)
+              else graft.matching.DeltaTriangles.countTouching(spark, e0, deleted)
             trianglePositive += pos
             triangleNegative += neg
             triangleCount += pos - neg

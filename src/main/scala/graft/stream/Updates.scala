@@ -120,6 +120,127 @@ object Updates {
     (v1, e1)
   }
 
+  /** Exact per-batch edge delta in CANONICAL UNDIRECTED space (lo < hi):
+    * (added, deleted) with added = canon(after) \ canon(before) and deleted
+    * = canon(before) \ canon(after) — but derived from the batch's own ops
+    * via BROADCAST-only joins, never by anti-joining the full before/after
+    * tables (the round-2 shape: two canon+distinct shuffles plus two full
+    * anti-joins of E per micro-batch, O(|E|) shuffle work for an O(|Δ|)
+    * answer — a scale-killer on a continuous stream).
+    *
+    * Candidate keys come from the RAW ops (not the compacted ones: a mid-
+    * batch `-v` cascades deletions even when the vertex's compacted final op
+    * is a re-add): 'a' = keys of `e` ops, 'd' = keys of `-e` ops plus edges
+    * incident to any `-v` vertex (an isin filter on the same scan). Each
+    * full table is scanned ONCE with the tiny key set broadcast — no
+    * ShuffleExchange touches the edge tables (asserted by UpdatesSpec); at
+    * warehouse scale the scan itself prunes via bucketing/DPP on the key
+    * columns. */
+  def edgeDelta(spark: SparkSession, before: DataFrame, after: DataFrame,
+                batch: Dataset[GraphUpdate]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def canonKeys(df: DataFrame): DataFrame = df.select(
+      least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+
+    val b = batch.toDF().localCheckpoint(true)
+    val eAddKeys = canonKeys(b.where(col("op") === "e")
+      .select(col("id1").as("src"), col("id2").as("dst")))
+    val eDelKeys = canonKeys(b.where(col("op") === "-e")
+      .select(col("id1").as("src"), col("id2").as("dst")))
+    val vDelIds = b.where(col("op") === "-v").select(col("id1")).distinct()
+      .as[Long].collect().toSeq
+
+    val keys = eAddKeys.withColumn("tag", lit("a"))
+      .unionByName(eDelKeys.withColumn("tag", lit("d")))
+      .localCheckpoint(true)
+
+    def hits(t: DataFrame): DataFrame = {
+      val s = t.select(least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .where(col("lo") =!= col("hi"))
+      val incident =
+        if (vDelIds.isEmpty) lit(false)
+        else col("lo").isin(vDelIds: _*) || col("hi").isin(vDelIds: _*)
+      s.join(broadcast(keys), Seq("lo", "hi"), "left_outer")
+        .withColumn("tag", when(col("tag").isNotNull, col("tag"))
+          .when(incident, lit("d")))
+        .where(col("tag").isNotNull)
+        .distinct() // tiny: bounded by |Δ| + deg(deleted vertices)
+    }
+    val hb = hits(before).localCheckpoint(true)
+    val ha = hits(after).localCheckpoint(true)
+    val added = ha.where(col("tag") === "a")
+      .join(broadcast(hb.where(col("tag") === "a")), Seq("lo", "hi"), "left_anti")
+      .select(col("lo").as("src"), col("hi").as("dst"))
+    val deleted = hb.where(col("tag") === "d")
+      .join(broadcast(ha.where(col("tag") === "d")), Seq("lo", "hi"), "left_anti")
+      .select(col("lo").as("src"), col("hi").as("dst"))
+    (added, deleted)
+  }
+
+  /** applyBatch for LABELED graphs (the matching tier): vertices carry
+    * vlabel, edges carry elabel. Same segmentation protocol as applyBatch;
+    * vertex adds UPSERT the label (reference AddVertex, graph.cpp:23-49),
+    * edge adds keep the existing row on duplicates (sorted-insert dedup,
+    * graph.cpp:63-64). */
+  def applyBatchLabeled(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                        batch: Dataset[GraphUpdate]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val vDelSeqs = batch.filter(_.op == "-v").select(col("seq")).as[Long]
+      .collect().sorted
+    val nOps = batch.count()
+    if (vDelSeqs.isEmpty || nOps == vDelSeqs.length)
+      applySegmentLabeled(spark, vertices, edges, batch)
+    else {
+      val bounds = vDelSeqs.map(Some(_)) :+ None
+      var lo = Long.MinValue
+      var (v, e) = (vertices, edges)
+      bounds.foreach { hi =>
+        val seg = hi match {
+          case Some(s) => batch.filter(u => u.seq > lo && u.seq <= s)
+          case None => batch.filter(u => u.seq > lo)
+        }
+        if (hi.isEmpty || hi.exists(_ > lo)) {
+          val (v1, e1) = applySegmentLabeled(spark, v, e, seg)
+          v = v1.localCheckpoint(true)
+          e = e1.localCheckpoint(true)
+        }
+        hi.foreach(s => lo = s)
+      }
+      (v, e)
+    }
+  }
+
+  private def applySegmentLabeled(spark: SparkSession, vertices: DataFrame,
+                                  edges: DataFrame, batch: Dataset[GraphUpdate])
+      : (DataFrame, DataFrame) = {
+    val c = compact(batch).persist()
+    val vAdds = c.where(col("op") === "v")
+      .select(col("id1").as("id"), col("label").cast("int").as("vlabel"))
+    val vDels = c.where(col("op") === "-v").select(col("id1").as("id"))
+    val eAdds = c.where(col("op") === "e")
+      .select(col("id1").as("src"), col("id2").as("dst"), col("label").cast("int").as("elabel"))
+    val eDels = c.where(col("op") === "-e")
+      .select(col("id1").as("src"), col("id2").as("dst"))
+
+    val v1 = vertices.select(col("id"), col("vlabel"))
+      .join(vAdds.select(col("id")), Seq("id"), "left_anti") // upsert: new label wins
+      .union(vAdds)
+      .join(vDels, Seq("id"), "left_anti")
+
+    val e1 = edges.select(col("src"), col("dst"), col("elabel"))
+      .union(eAdds.join(edges.select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_anti")) // existing row wins on duplicate add
+      .where(col("src") =!= col("dst"))
+      .join(eDels, Seq("src", "dst"), "left_anti")
+      .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+
+    c.unpersist()
+    (v1, e1)
+  }
+
   /** Safe/unsafe classification for connected components: broadcast the
     * (small) per-batch update set against the label state — the
     * anti-join-before-heavy-work pattern (F2/F3). Returns the batch with a
