@@ -136,9 +136,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // iteration aids (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2 limits
+    // the query set; SPARK_GRAFT_SKIP_SCALING=1 skips the scaling matrix
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // per-query guard: a hung query must not eat the scaling section's
@@ -172,7 +179,8 @@ object Bench {
     // 32 is informational (pinning the whole machine measures co-tenant
     // steal more than the engine)
     val (thr, nEdges) =
-      try scalingMatrix(Seq(2, 8, 32, 8, 2, 8, 2), sites, pps,
+      if (skipScaling) (Map(2 -> 0.0, 8 -> 0.0, 32 -> 0.0), 0L)
+      else try scalingMatrix(Seq(2, 8, 32, 8, 2, 8, 2), sites, pps,
         blockP = 64, iters = iters, warm = warm)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")

@@ -56,35 +56,45 @@ object DeltaTriangles {
   def countTouchingAll(spark: SparkSession, edges: DataFrame,
                        deltas: Seq[DataFrame]): Seq[Long] = {
     if (deltas.isEmpty) return Seq.empty
-    val flags = deltas.indices.map(i => s"_d$i")
-    val rel = flaggedRel(edges, flags.zip(deltas)).persist()
+    val (tri, rel) = touchingRows(spark, edges, deltas)
     try {
-      // seeds: one tagged row per (delta set, canonical delta edge)
-      val anyFlag = flags.map(col).reduce(_ || _)
-      val base = rel.where(col("src") < col("dst") && anyFlag)
-      val seed = flags.zipWithIndex.map { case (f, i) =>
-        base.where(col(f)).select(col("src").as("a"), col("dst").as("b"),
-          col("k").as("k0"), lit(i).as("tag"))
-      }.reduce(_ union _)
-      val viaA = rel.select(Seq(col("src").as("a"), col("dst").as("c"),
-        col("k").as("k1")) ++ flags.map(f => col(f).as(s"${f}_1")): _*)
-      val viaB = rel.select(Seq(col("src").as("b2"), col("dst").as("c2"),
-        col("k").as("k2")) ++ flags.map(f => col(f).as(s"${f}_2")): _*)
-      // per-tag charging: only delta edges OF THE SEED'S OWN SET compete on k
-      def pass(side: Int, kCol: Column): Column =
-        flags.zipWithIndex.map { case (f, i) =>
-          (col("tag") === i) && (!col(s"${f}_$side") || (kCol > col("k0")))
-        }.reduce(_ || _)
-      val tri = seed
-        .join(viaA, Seq("a"))
-        .where(col("c") =!= col("b") && pass(1, col("k1")))
-        .join(viaB, col("b") === col("b2") && col("c") === col("c2"))
-        .where(pass(2, col("k2")))
-      val aggs = flags.indices.map(i =>
+      val aggs = deltas.indices.map(i =>
         sum(when(col("tag") === i, 1L).otherwise(0L)).as(s"n$i"))
       val row = tri.agg(aggs.head, aggs.tail: _*).head()
-      flags.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+      deltas.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
     } finally { rel.unpersist(); () }
+  }
+
+  /** The tagged touching-triangle rows (column `tag` = delta-set index) and
+    * the persisted relation backing them (caller unpersists). Package-
+    * visible so tests can assert the PLAN shape (no Window node — the
+    * charging key is the edge's own (lo,hi), never a ranking pass). */
+  private[graft] def touchingRows(spark: SparkSession, edges: DataFrame,
+                                  deltas: Seq[DataFrame]): (DataFrame, DataFrame) = {
+    val flags = deltas.indices.map(i => s"_d$i")
+    val rel = flaggedRel(edges, flags.zip(deltas)).persist()
+    // seeds: one tagged row per (delta set, canonical delta edge)
+    val anyFlag = flags.map(col).reduce(_ || _)
+    val base = rel.where(col("src") < col("dst") && anyFlag)
+    val seed = flags.zipWithIndex.map { case (f, i) =>
+      base.where(col(f)).select(col("src").as("a"), col("dst").as("b"),
+        col("k").as("k0"), lit(i).as("tag"))
+    }.reduce(_ union _)
+    val viaA = rel.select(Seq(col("src").as("a"), col("dst").as("c"),
+      col("k").as("k1")) ++ flags.map(f => col(f).as(s"${f}_1")): _*)
+    val viaB = rel.select(Seq(col("src").as("b2"), col("dst").as("c2"),
+      col("k").as("k2")) ++ flags.map(f => col(f).as(s"${f}_2")): _*)
+    // per-tag charging: only delta edges OF THE SEED'S OWN SET compete on k
+    def pass(side: Int, kCol: Column): Column =
+      flags.zipWithIndex.map { case (f, i) =>
+        (col("tag") === i) && (!col(s"${f}_$side") || (kCol > col("k0")))
+      }.reduce(_ || _)
+    val tri = seed
+      .join(viaA, Seq("a"))
+      .where(col("c") =!= col("b") && pass(1, col("k1")))
+      .join(viaB, col("b") === col("b2") && col("c") === col("c2"))
+      .where(pass(2, col("k2")))
+    (tri, rel)
   }
 
   /** Count of triangles of `edges` (undirected, any orientation) containing
@@ -99,22 +109,81 @@ object DeltaTriangles {
     Seq(countTouching(spark, edges, delta)).toDF("touching")
   }
 
+  /** ONE flagged degree-oriented enumeration producing (total triangles of
+    * `edges`, triangles containing an add, triangles containing a del) in a
+    * single wedge-join job — the right shape when the delta is a sizable
+    * fraction of the graph (the delta-seeded path re-pays the full wedge
+    * cost anyway once |Δ|·deg approaches |wedges|). Degree orientation keeps
+    * every triangle enumerated exactly once as a→b→c (TriangleCount's J1
+    * plan) with the flags ridden along, so no per-triangle charging logic is
+    * needed at all. */
+  def bulkCounts(spark: SparkSession, edges: DataFrame,
+                 adds: DataFrame, dels: DataFrame): (Long, Long, Long) = {
+    // canonical flagged edge set
+    val e = canon(edges)
+      .join(canon(adds).withColumn("isA", lit(true)), Seq("lo", "hi"), "left_outer")
+      .join(canon(dels).withColumn("isD", lit(true)), Seq("lo", "hi"), "left_outer")
+      .select(col("lo"), col("hi"),
+        coalesce(col("isA"), lit(false)).as("isA"),
+        coalesce(col("isD"), lit(false)).as("isD"))
+      .localCheckpoint(true)
+    // degree orientation (TriangleCount.orient with flags carried)
+    val und = e.select(col("lo").as("src"), col("hi").as("dst"), col("isA"), col("isD"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst"), col("isA"), col("isD")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+      .where(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("isA"), col("isD"))
+      .localCheckpoint(true)
+    val tri = o.as("e1").join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(o.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+    val anyA = col("e1.isA") || col("e2.isA") || col("e3.isA")
+    val anyD = col("e1.isD") || col("e2.isD") || col("e3.isD")
+    val row = tri.agg(count(lit(1)).as("t"),
+      sum(when(anyA, 1L).otherwise(0L)).as("p"),
+      sum(when(anyD, 1L).otherwise(0L)).as("n")).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
+  }
+
   /** Full maintenance step: from `base` edges apply `adds` then `dels`
     * (disjoint sets), return one row
     * (t_old, positive, negative, t_new = t_old + pos − neg).
     * `tOld` lets a caller that already maintains the running count (G2's
-    * counters — e.g. StreamGraph) skip the one from-scratch count; when
-    * absent it is computed once from `base`. positive and negative share ONE
-    * delta-join job over one persisted flagged relation. */
+    * counters — e.g. StreamGraph) skip the one from-scratch count.
+    *
+    * Two physical routes, auto-selected by delta fraction:
+    *  - SMALL delta (the streaming case): one from-scratch count (or the
+    *    caller's tOld) plus ONE |Δ|-seeded delta-join job shared by
+    *    positive and negative;
+    *  - LARGE delta (>2% of edges): one flagged oriented enumeration of the
+    *    after-adds graph yields total/pos/neg together, and
+    *    t_old = total − positive, t_new = total − negative fall out with no
+    *    second pass. */
   def maintain(spark: SparkSession, base: DataFrame, adds: DataFrame,
                dels: DataFrame, tOld: Option[Long] = None): DataFrame = {
     import graft.algo.TriangleCount
+    // no dedup/materialization here: both routes canonicalize (and thereby
+    // dedup) the union exactly once inside their flagged relation
     val afterAdds = base.select(col("src"), col("dst"))
-      .union(adds.select(col("src"), col("dst"))).dropDuplicates("src", "dst")
-      .localCheckpoint(true)
-    val t0 = tOld.getOrElse(
-      TriangleCount.countTriangles(spark, base).head().getLong(0))
-    val Seq(pos, neg) = countTouchingAll(spark, afterAdds, Seq(adds, dels))
+      .union(adds.select(col("src"), col("dst")))
+    val nDelta = adds.count() + dels.count()
+    val nBase = base.count()
+    val (t0, pos, neg) =
+      if (nDelta > 0.02 * nBase) {
+        val (tAfter, p, n) = bulkCounts(spark, afterAdds, adds, dels)
+        (tOld.getOrElse(tAfter - p), p, n)
+      } else {
+        val t0v = tOld.getOrElse(
+          TriangleCount.countTriangles(spark, base).head().getLong(0))
+        val Seq(p, n) = countTouchingAll(spark, afterAdds, Seq(adds, dels))
+        (t0v, p, n)
+      }
     val spark2 = spark
     import spark2.implicits._
     Seq((t0, pos, neg, t0 + pos - neg))

@@ -59,7 +59,7 @@ object Dedup {
     * only lower recall for pairs that share ONLY ubiquitous grams. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleFreq: Long = 1000L): DataFrame = {
-    val sh = shingles(docs, n).persist()
+    val sh = shingles(docs, n).localCheckpoint(true)
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val kept = sh.join(freq.where(col("df") <= maxShingleFreq), Seq("shingle"), "left_semi")
     // sizes from the FILTERED universe too, so the value is the exact Jaccard
@@ -80,6 +80,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
     res
+  }
+
+  // ------------------------------------------------------------ bucket cap
+
+  /** Drop LSH buckets with more than `cap` members before a bucket
+    * self-join — the hot-shingle cap generalized to every bucket join: ONE
+    * degenerate bucket (near-empty docs all hashing alike, an adversarial
+    * band collision) re-introduces the quadratic all-pairs blowup the LSH
+    * exists to avoid. Recall loss is confined to pairs that ONLY collide in
+    * over-full buckets; at 100 TB the cap is what bounds worst-case cost.
+    * `keyCols` identify the bucket. */
+  def capBuckets(buckets: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+    val sizes = buckets.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_bn"))
+    buckets.join(sizes.where(col("_bn") <= cap).select(keyCols.map(col): _*),
+      keyCols, "left_semi")
+  }
+
+  /** Diagnostic twin of capBuckets: (kept buckets, dropped buckets) counts —
+    * "no silent caps": callers log what was dropped. One aggregate job. */
+  def bucketCapStats(buckets: DataFrame, keyCols: Seq[String], cap: Long): (Long, Long) = {
+    val row = buckets.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_bn"))
+      .agg(sum(when(col("_bn") <= cap, 1L).otherwise(0L)),
+        sum(when(col("_bn") > cap, 1L).otherwise(0L))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   // ----------------------------------------------------------- MinHash+LSH
@@ -107,13 +132,15 @@ object Dedup {
     * of `rowsPerBand` mins, hash each band, self-join on (band index, band
     * hash). Returns distinct (a, b) with a < b. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-                    bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
+                    bandHash: Seq[Column] => Column = xxBandHash,
+                    maxBucketSize: Long = 100000L): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
       struct(lit(bIdx).as("band"), bandHash(cols).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val raw = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = capBuckets(raw, Seq("band", "bh"), maxBucketSize)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -127,11 +154,12 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int, threshold: Double,
                       numPerm: Int = 32, bands: Int = 8,
                       shingleHash: (Column, Int) => Column = xxShingleHash,
-                      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
+                      bandHash: Seq[Column] => Column = xxBandHash,
+                      maxBucketSize: Long = 100000L): DataFrame = {
     val rowsPerBand = numPerm / bands
     val cands = lshCandidates(minhashSignatures(docs, n, numPerm, shingleHash),
-      bands, rowsPerBand, bandHash)
-    val sh = shingles(docs, n).persist()
+      bands, rowsPerBand, bandHash, maxBucketSize)
+    val sh = shingles(docs, n).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val interCnt = cands
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingle", "sa"), "a")
@@ -172,13 +200,15 @@ object Dedup {
     * 16-bit chunk equality (pigeonhole: distance ≤ 3 ⇒ at least one of 4
     * chunks equal), verified by exact popcount. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-                      tokHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = simhash(docs, tokHash = tokHash).persist()
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
+                      tokHash: Column => Column = xxhash64(_),
+                      maxBucketSize: Long = 100000L): DataFrame = {
+    val sigs = simhash(docs, tokHash = tokHash).localCheckpoint(true)
+    val raw = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val chunks = capBuckets(raw, Seq("c", "v"), maxBucketSize)
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

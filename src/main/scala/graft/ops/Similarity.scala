@@ -74,7 +74,8 @@ object Similarity {
     * bucket-join-shaped, never all-pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 12, nTables: Int = 4, dim: Int = 64, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucketSize: Long = 100000L): DataFrame = {
     def buckets(df: DataFrame, id: String, vec: String): DataFrame = {
       val tableCols = (0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
@@ -84,7 +85,11 @@ object Similarity {
         .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val qb = buckets(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
-    val cb = buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+    // cap the CORPUS side: a degenerate bucket (e.g. all-zero vectors) would
+    // otherwise fan every query colliding with it across the whole corpus
+    val cb = Dedup.capBuckets(
+      buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec"),
+      Seq("tbl", "bkt"), maxBucketSize)
     val cands = qb.join(cb, Seq("tbl", "bkt"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
@@ -113,14 +118,16 @@ object Similarity {
     * but candidates from sign-sketch buckets (approximate recall). */
   def lshNearDups(corpus: DataFrame, threshold: Double,
                   nBits: Int = 8, nTables: Int = 6, dim: Int = 64, seed: Long = 42L,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxBucketSize: Long = 100000L): DataFrame = {
     val tableCols = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         signSketch(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bkt"))
     }
-    val bk = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val raw = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(array(tableCols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val bk = Dedup.capBuckets(raw, Seq("tbl", "bkt"), maxBucketSize)
     bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.id") < col("y.id"))

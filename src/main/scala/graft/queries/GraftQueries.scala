@@ -145,7 +145,7 @@ object GraftQueries {
       val q = QueryGraph.path(
         vlabels = Seq(Some(0), Some(1), Some(2)),
         elabels = Seq(Some(1), Some(2)))
-      GraphMatcher.findMatchesIndexed(s, q, e, v, rounds = 2)
+      GraphMatcher.findMatchesIndexed(s, q, e, v, rounds = 1)
         .groupBy(col("u1")).agg(count(lit(1)).as("n"))
         .orderBy("u1")
     }),

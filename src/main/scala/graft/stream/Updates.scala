@@ -108,13 +108,16 @@ object Updates {
     val v1 = vertices.select(col("id")).union(vAdds).distinct()
       .join(vDels, Seq("id"), "left_anti")
 
-    // M3 add edges (dedup, no self loops); M4 remove edges; cascade -v
+    // M3 add edges (dedup, no self loops); M4 remove edges; cascade -v.
+    // Final select: a USING join (Seq("dst")) reorders columns dst-first,
+    // which would silently swap positional consumers — pin the order.
     val e1 = edges.select(col("src"), col("dst")).union(eAdds)
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
       .join(eDels, Seq("src", "dst"), "left_anti")
       .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
 
     c.unpersist()
     (v1, e1)
@@ -168,8 +171,12 @@ object Updates {
         .where(col("tag").isNotNull)
         .distinct() // tiny: bounded by |Δ| + deg(deleted vertices)
     }
-    val hb = hits(before).localCheckpoint(true)
-    val ha = hits(after).localCheckpoint(true)
+    // no materialization: the hit sets are tiny and keeping them lazy keeps
+    // the WHOLE derivation (scan → broadcast join → distinct-on-tiny →
+    // broadcast anti-join) inspectable in one physical plan — DeltaSpec
+    // asserts no SortMergeJoin/ShuffledHashJoin ever touches the edge tables
+    val hb = hits(before)
+    val ha = hits(after)
     val added = ha.where(col("tag") === "a")
       .join(broadcast(hb.where(col("tag") === "a")), Seq("lo", "hi"), "left_anti")
       .select(col("lo").as("src"), col("hi").as("dst"))
@@ -236,6 +243,7 @@ object Updates {
       .join(eDels, Seq("src", "dst"), "left_anti")
       .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("elabel")) // USING joins reorder — pin
 
     c.unpersist()
     (v1, e1)

@@ -1,0 +1,97 @@
+package graft.matching
+
+import graft.SparkSpec
+import graft.graph.GraphUpdate
+import graft.matching.MatchFixtures.brute
+
+/** The reference's flagship composition (J11 end-to-end): N query graphs
+  * over ONE replayed update stream, per-query counts MAINTAINED by routed
+  * delta joins — validated against from-scratch recomputation after every
+  * batch (the reference's own oracle: maintained counters equal recompute,
+  * BatchUpdates3 + cross-algorithm agreement). */
+class MultiQuerySpec extends SparkSpec {
+
+  private val queries = Map(
+    "tri" -> QueryGraph.triangle,
+    "path" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(None, None)),
+    "star" -> QueryGraph(
+      Seq(QVertex("c", Some(1)), QVertex("l1", Some(0)), QVertex("l2", Some(0))),
+      Seq(QEdge("c", "l1"), QEdge("c", "l2"))))
+
+  test("multi-query driver: maintained counts equal recompute after every batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    var verts = (0L until 14L).map(v => v -> rnd.nextInt(3)).toMap
+    var edges = Set((0L, 1L, 0), (1L, 2L, 1), (2L, 0L, 0), (3L, 4L, 1),
+      (4L, 5L, 0), (5L, 3L, 1), (6L, 7L, 0), (8L, 9L, 1), (10L, 11L, 0))
+
+    val driver = new MultiQueryDriver(spark, queries,
+      verts.toSeq.toDF("id", "vlabel"), edges.toSeq.toDF("src", "dst", "elabel"))
+
+    // initial counts match brute force
+    queries.foreach { case (n, q) =>
+      assert(driver.counts(n) == brute(q, verts, edges), s"initial $n")
+    }
+
+    val batches: Seq[Seq[GraphUpdate]] = Seq(
+      // batch 1: adds only (one closes a triangle, one is label-noise)
+      Seq(GraphUpdate(1, "e", 6L, 8L, 0), GraphUpdate(2, "e", 7L, 8L, 1),
+        GraphUpdate(3, "e", 6L, 9L, 0)),
+      // batch 2: vertex add + incident edges
+      Seq(GraphUpdate(4, "v", 20L, 0L, 1), GraphUpdate(5, "e", 20L, 0L, 2),
+        GraphUpdate(6, "e", 20L, 10L, 0)),
+      // batch 3: deletes (edge + cascading vertex delete)
+      Seq(GraphUpdate(7, "-e", 0L, 1L, 0), GraphUpdate(8, "-v", 4L, 0L, 0)),
+      // batch 4: mixed adds and deletes in one window
+      Seq(GraphUpdate(9, "e", 9L, 10L, 1), GraphUpdate(10, "-e", 6L, 7L, 0),
+        GraphUpdate(11, "e", 11L, 12L, 2)))
+
+    def applyOracle(batch: Seq[GraphUpdate]): Unit = batch.foreach { u =>
+      u.op match {
+        case "v" => verts += (u.id1 -> u.label)
+        case "-v" =>
+          verts -= u.id1
+          edges = edges.filterNot(e => e._1 == u.id1 || e._2 == u.id1)
+        case "e" =>
+          val (a, b) = (math.min(u.id1, u.id2), math.max(u.id1, u.id2))
+          if (!edges.exists(e => e._1 == a && e._2 == b)) edges += ((a, b, u.label))
+        case "-e" =>
+          val (a, b) = (math.min(u.id1, u.id2), math.max(u.id1, u.id2))
+          edges = edges.filterNot(e => e._1 == a && e._2 == b)
+      }
+    }
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      driver.applyBatch(b.toDS())
+      applyOracle(b)
+      queries.foreach { case (n, q) =>
+        val want = brute(q, verts, edges)
+        assert(driver.counts(n) == want,
+          s"batch ${i + 1}, query $n: maintained ${driver.counts(n)} vs recompute $want")
+      }
+    }
+
+    // routing skipped at least some (query, batch) searches, and ran some
+    assert(driver.searchesRun > 0, "some delta searches must have run")
+    assert(driver.searchesSkipped > 0,
+      s"routing should skip label-mismatched work (safeFraction=${driver.safeFraction})")
+    assert(driver.fullRecomputes == 0)
+    info(f"safe fraction: ${driver.safeFraction}%.2f " +
+      s"(${driver.searchesSkipped} skipped / ${driver.searchesRun} run)")
+  }
+
+  test("relabel hazard triggers a sound full recompute") {
+    import spark.implicits._
+    val verts = Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 0)
+    val edges = Set((0L, 1L, 0), (1L, 2L, 0), (2L, 3L, 0))
+    val qs = Map("path" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(None, None)))
+    val driver = new MultiQueryDriver(spark, qs,
+      verts.toSeq.toDF("id", "vlabel"), edges.toSeq.toDF("src", "dst", "elabel"))
+    assert(driver.counts("path") == brute(qs("path"), verts, edges))
+    // relabel vertex 3 from 0 to 2: creates a new (0,1,2) path 1-2-3
+    driver.applyBatch(Seq(GraphUpdate(1, "v", 3L, 0L, 2)).toDS())
+    val verts2 = verts + (3L -> 2)
+    assert(driver.fullRecomputes == 1)
+    assert(driver.counts("path") == brute(qs("path"), verts2, edges))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.{Oracles => O}
+import graft.graph.GraphUpdate
+
+/** Round-3 delta machinery: O(|Δ|)-shuffle edge-delta derivation, labeled
+  * batch application, and the window-free triangle delta plans. */
+class DeltaSpec extends SparkSpec {
+
+  private def canonSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(least(col("src"), col("dst")).as("l"), greatest(col("src"), col("dst")).as("h"))
+      .where(col("l") =!= col("h")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("edgeDelta equals the true before/after diff (re-adds, -e, -v cascade)") {
+    import spark.implicits._
+    val v0 = (0L until 12L).toDF("id")
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (6L, 7L), (7L, 8L), (2L, 6L)).toDF("src", "dst")
+    val batch = Seq(
+      GraphUpdate(1, "e", 0L, 2L, 0),   // genuine add
+      GraphUpdate(2, "e", 1L, 2L, 0),   // re-add of an existing edge: NO delta
+      GraphUpdate(3, "e", 19L, 20L, 0), // add between fresh vertices
+      GraphUpdate(4, "v", 19L, 0L, 0),
+      GraphUpdate(5, "v", 20L, 0L, 0),
+      GraphUpdate(6, "-e", 3L, 4L, 0),  // explicit delete
+      GraphUpdate(7, "-v", 7L, 0L, 0),  // cascades (6,7) and (7,8)
+      GraphUpdate(8, "e", 4L, 6L, 0)).toDS()
+    val (v1, e1) = Updates.applyBatch(spark, v0, e0, batch)
+    val e1c = e1.localCheckpoint(true)
+
+    val (added, deleted) = Updates.edgeDelta(spark, e0, e1c, batch)
+    val wantAdded = canonSet(e1c) -- canonSet(e0)
+    val wantDeleted = canonSet(e0) -- canonSet(e1c)
+    assert(canonSet(added) == wantAdded, s"added ${canonSet(added)} vs $wantAdded")
+    assert(canonSet(deleted) == wantDeleted, s"deleted ${canonSet(deleted)} vs $wantDeleted")
+    assert(wantAdded == Set((0L, 2L), (19L, 20L), (4L, 6L)))
+    assert(wantDeleted == Set((3L, 4L), (6L, 7L), (7L, 8L)))
+    assert(v1.count() == 13) // 12 + 19,20 - 7
+  }
+
+  test("edgeDelta never shuffles the edge tables (broadcast-only joins)") {
+    import spark.implicits._
+    val v0 = (0L until 2000L).toDF("id")
+    val e0 = (0L until 1999L).map(i => (i, i + 1)).toDF("src", "dst").localCheckpoint(true)
+    val batch = Seq(
+      GraphUpdate(1, "e", 5L, 500L, 0),
+      GraphUpdate(2, "-e", 100L, 101L, 0),
+      GraphUpdate(3, "-v", 1500L, 0L, 0)).toDS()
+    val (_, e1) = Updates.applyBatch(spark, v0, e0, batch)
+    val e1c = e1.localCheckpoint(true)
+    val (added, deleted) = Updates.edgeDelta(spark, e0, e1c, batch)
+    Seq(added, deleted).foreach { df =>
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"full-table sort-merge join in:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"full-table shuffled join in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        "delta derivation should be broadcast-join shaped")
+    }
+    // and the values are still right
+    assert(canonSet(added) == Set((5L, 500L)))
+    assert(canonSet(deleted) == Set((100L, 101L), (1499L, 1500L), (1500L, 1501L)))
+  }
+
+  test("applyBatchLabeled: upserted vertex labels, kept-edge semantics, cascade") {
+    import spark.implicits._
+    val v0 = Seq((0L, 0), (1L, 1), (2L, 2)).toDF("id", "vlabel")
+    val e0 = Seq((0L, 1L, 5), (1L, 2L, 6)).toDF("src", "dst", "elabel")
+    val batch = Seq(
+      GraphUpdate(1, "v", 3L, 0L, 1),   // new labeled vertex
+      GraphUpdate(2, "v", 0L, 0L, 7),   // upsert label of 0
+      GraphUpdate(3, "e", 2L, 3L, 9),
+      GraphUpdate(4, "e", 0L, 1L, 8),   // duplicate add: existing row (label 5) wins
+      GraphUpdate(5, "-v", 1L, 0L, 0)). // cascades (0,1) and (1,2)
+      toDS()
+    val (v1, e1) = Updates.applyBatchLabeled(spark, v0, e0, batch)
+    val vs = v1.as[(Long, Int)].collect().toSet
+    assert(vs == Set((0L, 7), (2L, 2), (3L, 1)))
+    val es = e1.as[(Long, Long, Int)].collect().toSet
+    assert(es == Set((2L, 3L, 9)))
+  }
+
+  test("triangle delta plans contain no Window node; bulk == seeded == oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    while (edges.size < 80) {
+      val a = rnd.nextInt(20).toLong; val b = rnd.nextInt(20).toLong
+      if (a < b) edges += ((a, b))
+    }
+    val all = edges.toSeq
+    val adds = all.filter { case (a, b) => (a + b) % 4 == 0 }
+    val dels = all.filter { case (a, b) => (a + b) % 4 == 1 }
+    val base = all.filterNot(adds.contains)
+    val allDF = all.toDF("src", "dst")
+    val addsDF = adds.toDF("src", "dst")
+    val delsDF = dels.toDF("src", "dst")
+
+    // seeded path: assert NO Window in the optimized plan (round 2 ranked
+    // delta edges through an un-partitioned row_number — a single-task sort)
+    val (tri, rel) = graft.matching.DeltaTriangles.touchingRows(
+      spark, allDF, Seq(addsDF, delsDF))
+    val optimized = tri.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), s"Window node in touching plan:\n$optimized")
+    val counts = tri.groupBy(col("tag")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rel.unpersist()
+
+    // oracle values
+    val tAll = O.triangles(all)
+    val tBase = O.triangles(base)
+    val tAfterDels = O.triangles(all.filterNot(dels.contains))
+    assert(counts.getOrElse(0, 0L) == tAll - tBase, "seeded positive")
+    assert(counts.getOrElse(1, 0L) == tAll - tAfterDels, "seeded negative")
+
+    // bulk path agrees
+    val (total, p, n) = graft.matching.DeltaTriangles.bulkCounts(
+      spark, allDF, addsDF, delsDF)
+    assert(total == tAll && p == tAll - tBase && n == tAll - tAfterDels,
+      s"bulk ($total,$p,$n) vs oracle ($tAll,${tAll - tBase},${tAll - tAfterDels})")
+  }
+}
