@@ -366,4 +366,27 @@ object CsrPageRank {
     val (state, iters, m) = run(spark, blocks, damping, tol, maxIter)
     (toRows(spark, state, blocks.verts), iters, m)
   }
+
+  /** Size-routed PageRank — the measured CROSSOVER between the two physical
+    * designs (sf0.1 probe, 32 threads, BENCH_r03): on a ~0.6M-edge graph the
+    * CSR path spends ~5.5s building blocks to save ~0.1s/superstep, while on
+    * the 171M-edge bench artifact the packed superstep sustains ~39M edges/s
+    * at 8 pinned cores — far beyond the row-join plan. So: small graphs (or
+    * few iterations) take the Dataset-join plan, big graphs amortize the
+    * block build. The threshold is deliberately coarse; both paths are
+    * oracle-gated to identical results (q_pagerank / q_pagerank_csr share
+    * one DuckDB oracle). */
+  def auto(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+           damping: Double = 0.85, tol: Double = 1e-6, maxIter: Int = 100,
+           csrThreshold: Long = 20000000L)
+      : (DataFrame, Int, Seq[SuperstepMetrics]) = {
+    val nE = edges.count()
+    if (nE >= csrThreshold) pagerank(spark, edges, vertices, damping, tol, maxIter)
+    else {
+      val r = new PageRank(damping = damping, tol = tol, maxIter = maxIter)
+        .run(spark, edges, vertices)
+      (r.state.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("rank")), r.iterations, r.metrics)
+    }
+  }
 }

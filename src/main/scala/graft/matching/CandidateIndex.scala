@@ -119,29 +119,40 @@ object CandidateIndex {
     buildOnRel(spark, query, rel, vertices, rounds).candidates
   }
 
+  /** What an insert-side refresh produced besides the index: per-round
+    * frontier sizes (the O(|delta|)-shape evidence) and the per-round DELTA
+    * CANDIDATE SETS (qv, id) — newly-valid candidates only. The delta views
+    * are the reference's IEDyn X5 surface (DCS_CD_delta_, iedyn.cpp:516-548):
+    * delta enumeration may seed from new candidates instead of rescanning
+    * the full sets. */
+  final case class RefreshStats(frontierSizes: Seq[Long], deltaSets: Vector[DataFrame])
+
   /** EXACT incremental refresh after edge adds (and optional new vertices):
     * equals buildOnRel on the post-add graph, but only the propagating
-    * frontier is re-evaluated. Returns the new index plus the per-round
-    * frontier sizes (the O(|delta|)-shape evidence). `relNew` must be the
-    * post-add materialized relation; `verticesNew` the post-add vertex set;
-    * `addedEdges` the (src, dst) delta. */
+    * frontier is re-evaluated. `relNew` must be the post-add materialized
+    * relation; `verticesNew` the post-add vertex set; `addedEdges` the
+    * (src, dst) delta. */
   def refreshAfterAdds(spark: SparkSession, query: QueryGraph, relNew: DataFrame,
                        verticesNew: DataFrame, prev: Index,
-                       addedEdges: DataFrame): (Index, Seq[Long]) = {
+                       addedEdges: DataFrame): (Index, RefreshStats) = {
     val endpoints = addedEdges.select(col("src").as("id"))
       .union(addedEdges.select(col("dst").as("id"))).distinct()
     val newVerts = verticesNew.select(col("id"))
       .join(prev.perRound(0).select(col("id")).distinct(), Seq("id"), "left_anti")
     val seedIds = endpoints.union(newVerts).distinct().localCheckpoint(true)
 
-    // round 0: label base only grows by genuinely new vertices
+    // round 0: label base only grows by genuinely new vertices.
+    // (explicit select: USING joins put the join columns first, and a
+    // positional union downstream would silently swap qv/id)
     val baseDiff = labelBase(query, verticesNew)
       .join(seedIds, Seq("id"), "left_semi")
       .join(prev.perRound(0), Seq("qv", "id"), "left_anti")
+      .select(col("qv"), col("id"))
       .localCheckpoint(true)
     var per = Vector(prev.perRound(0).union(baseDiff).localCheckpoint(true))
     var frontierIds = seedIds
     val frontierSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var diffs = Vector(baseDiff)
 
     (1 to prev.rounds).foreach { r =>
       frontierSizes += frontierIds.count()
@@ -152,8 +163,10 @@ object CandidateIndex {
           srcScope = Some(frontierIds))
         .join(per.head, Seq("qv", "id"), "left_semi") // label check (round 0)
       val diff = survivors.join(prev.perRound(r), Seq("qv", "id"), "left_anti")
+        .select(col("qv"), col("id"))
         .localCheckpoint(true)
       per = per :+ prev.perRound(r).union(diff).localCheckpoint(true)
+      diffs = diffs :+ diff
       // next frontier: whoever neighbors a gainer (plus the seeds again —
       // a seed may gain candidacy only at a later round)
       val gainerIds = diff.select(col("id")).distinct()
@@ -162,7 +175,7 @@ object CandidateIndex {
         .select(col("src").as("id"))
         .union(seedIds).distinct().localCheckpoint(true)
     }
-    (Index(query, per), frontierSizes.toSeq)
+    (Index(query, per), RefreshStats(frontierSizes.toSeq, diffs))
   }
 
   /** Shrink-only refresh after deletes: re-prune the previous per-round sets
@@ -172,11 +185,14 @@ object CandidateIndex {
                           verticesNew: DataFrame, prev: Index): Index = {
     val live = verticesNew.select(col("id"))
     var per = Vector(prev.perRound(0).join(live, Seq("id"), "left_semi")
+      .select(col("qv"), col("id"))
       .localCheckpoint(true))
     (1 to prev.rounds).foreach { r =>
       val evalSet = prev.perRound(r).join(live, Seq("id"), "left_semi")
+        .select(col("qv"), col("id"))
       val next = pruneRound(query, relNew, per(r - 1), evalSet, None)
         .join(evalSet, Seq("qv", "id"), "left_semi")
+        .select(col("qv"), col("id"))
         .localCheckpoint(true)
       per = per :+ next
     }

@@ -31,14 +31,37 @@ import graft.stream.Updates
   * sets with no edge delta; such batches trigger a full recompute of every
   * query (the reference's streams never relabel — `v` ops only introduce
   * vertices, README.md:67-83).
+  *
+  * `useCandidateIndex = true` adds the reference's INDEX-AWARE classify (F3,
+  * SymBi's Prune 2/3: enumerate only if the update edge's endpoints are
+  * d2-valid candidates, symbi.cpp:770-771; parrallel_symbi.cpp:3071-3127):
+  * each query keeps a candidate index that is maintained INCREMENTALLY per
+  * batch (insert-side frontier propagation, delete-side shrink — X3), the
+  * symmetric labeled relation is maintained by delta union/anti-join (never
+  * rebuilt), and a label-routed query is still skipped when no delta edge
+  * lands inside adjacent candidate sets. Unaffected queries' indexes drift
+  * only toward SUPERSETS (new round-0 vertices are reconciled on their next
+  * refresh), which keeps pruning sound.
   */
 final class MultiQueryDriver(spark: SparkSession,
                              val queries: Map[String, QueryGraph],
                              initialVertices: DataFrame, // (id, vlabel)
-                             initialEdges: DataFrame) {  // (src, dst, elabel)
+                             initialEdges: DataFrame,    // (src, dst, elabel)
+                             useCandidateIndex: Boolean = false,
+                             indexRounds: Int = 2) {
 
   var vertices: DataFrame = initialVertices.localCheckpoint(true)
   var edges: DataFrame = initialEdges.localCheckpoint(true)
+
+  /** Maintained symmetric labeled relation + per-query candidate indexes
+    * (only when useCandidateIndex). */
+  private var rel: DataFrame =
+    if (useCandidateIndex) GraphMatcher.materializedRelation(edges, vertices) else null
+  private val indexes = scala.collection.mutable.Map.empty[String, CandidateIndex.Index]
+  if (useCandidateIndex) queries.foreach { case (n, q) =>
+    indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, vertices, indexRounds)
+  }
+  var indexSkips: Long = 0L // label-routed but candidate-refuted (query, batch) pairs
 
   /** Maintained per-query match counts (G2's counters). */
   val counts: scala.collection.mutable.Map[String, Long] =
@@ -80,6 +103,12 @@ final class MultiQueryDriver(spark: SparkSession,
 
     if (relabeled) {
       fullRecomputes += 1
+      if (useCandidateIndex) {
+        rel = GraphMatcher.materializedRelation(e1c, v1c)
+        queries.foreach { case (n, q) =>
+          indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, v1c, indexRounds)
+        }
+      }
       queries.foreach { case (n, q) =>
         counts(n) = GraphMatcher.countMatches(spark, q, e1c, v1c).head().getLong(0)
       }
@@ -138,22 +167,78 @@ final class MultiQueryDriver(spark: SparkSession,
         coalesce(col("isDel"), lit(false)).as("isDel"))
       .localCheckpoint(true)
 
+    // F3 index machinery: maintain the relation by delta (union the added
+    // rows, anti-join the deleted keys — never rebuilt), refresh each
+    // affected query's index insert-side FIRST (SymBi applies
+    // InsertionTopDown before enumerating), consult it, shrink after.
+    val (relAfterAdds, relFinal) =
+      if (!useCandidateIndex) (null: DataFrame, null: DataFrame)
+      else {
+        val addRelRows = GraphMatcher.relation(addedLabeled, vUnion)
+        val ra = rel.union(addRelRows).localCheckpoint(true)
+        val delK = deletedK
+        val rf = ra.join(broadcast(delK),
+            least(ra("src"), ra("dst")) === delK("lo") &&
+              greatest(ra("src"), ra("dst")) === delK("hi"), "left_anti")
+          .select(ra("src"), ra("dst"), ra("elabel"), ra("slabel"), ra("dlabel"))
+          .localCheckpoint(true)
+        (ra, rf)
+      }
+
+    /** Does any delta edge land inside adjacent candidate sets of q? If not,
+      * no match of the delta graph A can map a query edge onto it (the index
+      * is a superset of true candidacy), so that side's delta join is dead. */
+    def indexHits(q: QueryGraph, idx: CandidateIndex.Index, d: DataFrame): Boolean = {
+      val cand = idx.perRound.last
+      q.edges.exists { e =>
+        val el = e.elabel.map(l => col("elabel") === l).getOrElse(lit(true))
+        val du = d.where(el)
+        Seq((e.u, e.v), (e.v, e.u)).exists { case (u, v) =>
+          du.join(cand.where(col("qv") === u).select(col("id").as("src")),
+              Seq("src"), "left_semi")
+            .join(cand.where(col("qv") === v).select(col("id").as("dst")),
+              Seq("dst"), "left_semi")
+            .limit(1).count() > 0
+        }
+      }
+    }
+
     queries.foreach { case (name, q) =>
-      if (affected(name)) {
+      val idxAfterAdds =
+        if (!useCandidateIndex) null
+        else if (affected(name) && nAdd > 0) {
+          val (i2, _) = CandidateIndex.refreshAfterAdds(spark, q, relAfterAdds,
+            vUnion, indexes(name),
+            addedK.select(col("lo").as("src"), col("hi").as("dst")))
+          i2
+        } else indexes(name)
+      val (runAdds, runDels) =
+        if (!affected(name)) (false, false)
+        else if (!useCandidateIndex) (nAdd > 0, nDel > 0)
+        else (nAdd > 0 && indexHits(q, idxAfterAdds, addedLabeled),
+          nDel > 0 && indexHits(q, idxAfterAdds, deletedLabeled))
+      if (runAdds || runDels) {
         searchesRun += 1
         val pos =
-          if (nAdd == 0) 0L
+          if (!runAdds) 0L
           else GraphMatcher.countDeltaMatches(spark, q,
             aFlagged.withColumn("isNew", col("isAdd")), vUnion)
             .head().getLong(0)
         val neg =
-          if (nDel == 0) 0L
+          if (!runDels) 0L
           else GraphMatcher.countDeltaMatches(spark, q,
             aFlagged.withColumn("isNew", col("isDel")), vUnion)
             .head().getLong(0)
         counts(name) = counts(name) + pos - neg
-      } else searchesSkipped += 1
+      } else {
+        if (affected(name)) indexSkips += 1
+        searchesSkipped += 1
+      }
+      if (useCandidateIndex && affected(name))
+        indexes(name) = CandidateIndex.refreshAfterDeletes(spark, q, relFinal,
+          v1c, idxAfterAdds)
     }
+    if (useCandidateIndex) rel = relFinal
     (affected.size, nAdd, nDel)
   }
 

@@ -101,6 +101,43 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rk"))
   }
 
+  /** IVF-flat approximate top-k — the inverted-file ANN scale path: a small
+    * COARSE QUANTIZER (here: the nCentroids lowest-id vectors, deterministic
+    * and oracle-computable; a k-means refinement drops in without changing
+    * the plan shape) partitions the corpus into buckets by
+    * nearest-centroid assignment (one broadcast pass, |corpus| × K rows);
+    * each query probes its `nProbe` nearest centroids and pays exact cosine
+    * only inside those buckets. Complements sign-sketch LSH: IVF buckets
+    * adapt to the data distribution, LSH buckets are data-independent. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(col("cid")).limit(nCentroids))
+    def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      df.crossJoin(cent)
+        .withColumn("ccos", round(cosine(col(vec), col("cvec")), 6))
+        .withColumn("crk", row_number().over(w))
+        .where(col("crk") <= n)
+        .select(col(id), col(vec), col("cid"))
+    }
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
+    val cands = probes.join(assigned, Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
+      .dropDuplicates("qid", "nid")
+    val scored = cands.withColumn("cos", round(cosine(col("qvec"), col("nvec")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
     * Exact (cross-join) — use for verification scales; the LSH variant
     * (`lshNearDups`) is the scale path. */

@@ -290,6 +290,16 @@ object GraftQueries {
         .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
         .orderBy("qid", "rk")
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      // IVF-flat scale path: deterministic coarse quantizer (lowest-16 ids),
+      // nearest-centroid buckets, 4-probe exact rescoring — the
+      // data-adaptive complement to sign-sketch LSH
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCentroids = 16, nProbe = 4)
+        .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
+        .orderBy("qid", "rk")
+    }),
     "q_embed_sim_pairs" -> ((s, d) =>
       Similarity.cosineNearDups(table(s, d, "embeddings"), threshold = 0.35)
         .orderBy("a", "b")),
@@ -504,6 +514,42 @@ object GraftQueries {
       s"SELECT qid, nid, cos, rk FROM ranked WHERE rk <= $k ORDER BY qid, rk"
   }
 
+  /** q_ann_ivf oracle: same deterministic IVF — centroids = lowest
+    * nCentroids ids, assignment = argmax rounded cosine (tie: min cid),
+    * probes = top nProbe centroids per query, exact rescoring on candidate
+    * buckets only. */
+  private def annIvfSql(k: Int, nCentroids: Int, nProbe: Int): String =
+    s"WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cvec " +
+      s"FROM embeddings ORDER BY vec_id LIMIT $nCentroids), " +
+      "cx AS MATERIALIZED (SELECT cid, generate_subscripts(cvec, 1) AS idx, " +
+      "unnest(cvec) AS val FROM cent), " +
+      "ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS idx, " +
+      "unnest(embedding) AS val FROM embeddings), " +
+      "norms AS MATERIALIZED (SELECT vec_id AS id, " +
+      "SQRT(SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) AS nrm FROM ex GROUP BY vec_id), " +
+      // corpus-to-centroid (and query-to-centroid) cosines
+      "cdots AS MATERIALIZED (SELECT ex.vec_id AS id, cx.cid, " +
+      "SUM(CAST(ex.val AS DOUBLE) * CAST(cx.val AS DOUBLE)) AS dot " +
+      "FROM ex JOIN cx USING (idx) GROUP BY ex.vec_id, cx.cid), " +
+      "cscore AS MATERIALIZED (SELECT cdots.id, cid, " +
+      "ROUND(dot / (n1.nrm * n2.nrm), 6) AS ccos FROM cdots " +
+      "JOIN norms n1 ON cdots.id = n1.id JOIN norms n2 ON cid = n2.id), " +
+      "assigned AS (SELECT id AS nid, cid FROM (SELECT id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY id ORDER BY ccos DESC, cid ASC) AS crk FROM cscore) WHERE crk = 1), " +
+      "probes AS (SELECT id AS qid, cid FROM (SELECT id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY id ORDER BY ccos DESC, cid ASC) AS crk FROM cscore WHERE id < 5) " +
+      s"WHERE crk <= $nProbe), " +
+      "cand AS (SELECT DISTINCT qid, nid FROM probes JOIN assigned USING (cid) " +
+      "WHERE qid <> nid), " +
+      "dots AS (SELECT qid, nid, SUM(CAST(qx.val AS DOUBLE) * CAST(nx.val AS DOUBLE)) AS dot " +
+      "FROM ex qx JOIN ex nx ON qx.idx = nx.idx " +
+      "JOIN cand ON qx.vec_id = cand.qid AND nx.vec_id = cand.nid GROUP BY qid, nid), " +
+      "scored AS (SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos FROM dots " +
+      "JOIN norms nq ON qid = nq.id JOIN norms nc ON nid = nc.id), " +
+      "ranked AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, nid ASC) AS rk FROM scored) " +
+      s"SELECT qid, nid, cos, rk FROM ranked WHERE rk <= $k ORDER BY qid, rk"
+
   /** q_embed_sim_lsh oracle: sign-LSH candidate pairs (a < b), exact rounded
     * cosine >= threshold — q_embed_sim_pairs' scoring on candidates only. */
   private def embedLshSql(threshold: Double, nBits: Int, nTables: Int,
@@ -642,6 +688,8 @@ object GraftQueries {
     "q_dedup_jaccard_capped" -> jaccardCappedSql(threshold = 0.5, cap = 50L),
 
     "q_ann_lsh" -> annLshSql(k = 10, nBits = 6, nTables = 8, dim = 64, seed = 42L),
+
+    "q_ann_ivf" -> annIvfSql(k = 10, nCentroids = 16, nProbe = 4),
 
     "q_embed_sim_lsh" -> embedLshSql(threshold = 0.35, nBits = 8, nTables = 6,
       dim = 64, seed = 42L),

@@ -63,4 +63,21 @@ class CsrPageRankSpec extends SparkSpec {
     (0L to 5L).foreach(i => assert(math.abs(got(i) - want(i)) < 1e-6))
     assert(got(0L) > got(1L) * 3, "hub must concentrate rank")
   }
+
+  test("auto router: small graphs take the row-join plan, results identical") {
+    import spark.implicits._
+    val pages = spark.createDataset(PagesFixture.generate(5, 12))
+    val (v, e) = GraphBuilder.buildVerified(spark, pages)
+    val vDF = v.toDF().localCheckpoint(true)
+    val eDF = e.toDF().localCheckpoint(true)
+    // below the threshold: routes to the Dataset-join plan
+    val (small, _, _) = CsrPageRank.auto(spark, eDF, vDF, tol = 1e-8, maxIter = 200)
+    // forced CSR (threshold 0): same ranks within 1e-6
+    val (csr, _, _) = CsrPageRank.auto(spark, eDF, vDF, tol = 1e-8, maxIter = 200,
+      csrThreshold = 0L)
+    val a = small.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = csr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, r) => assert(math.abs(r - b(id)) < 1e-6, s"auto rank($id)") }
+  }
 }

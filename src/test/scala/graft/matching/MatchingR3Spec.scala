@@ -209,13 +209,20 @@ class MatchingR3Spec extends SparkSpec {
     val relOld = GraphMatcher.materializedRelation(baseDF, vDF)
     val relNew = GraphMatcher.materializedRelation(allDF, vDF)
     val idx0 = CandidateIndex.buildOnRel(spark, q, relOld, vDF, rounds = 2)
-    val (refreshed, frontiers) =
+    val (refreshed, stats) =
       CandidateIndex.refreshAfterAdds(spark, q, relNew, vDF, idx0, addsDF)
     val rebuilt = CandidateIndex.buildOnRel(spark, q, relNew, vDF, rounds = 2)
     assert(candSets(refreshed) == candSets(rebuilt),
       "incremental refresh must equal the from-scratch rebuild")
-    assert(frontiers.nonEmpty && frontiers.forall(_ <= 60L),
-      s"frontier sizes $frontiers should be O(|delta| * deg^r), not O(|V|=$n)")
+    assert(stats.frontierSizes.nonEmpty && stats.frontierSizes.forall(_ <= 60L),
+      s"frontier sizes ${stats.frontierSizes} should be O(|delta| * deg^r), not O(|V|=$n)")
+    // X5: the delta candidate views are exactly rebuild-minus-old, per round
+    (0 to idx0.rounds).foreach { r =>
+      val want = rebuilt.perRound(r).collect().map(x => (x.getString(0), x.getLong(1))).toSet --
+        idx0.perRound(r).collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      val got = stats.deltaSets(r).collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(got == want, s"delta candidate set round $r")
+    }
   }
 
   test("refreshAfterDeletes: shrink-only refresh stays result-preserving") {

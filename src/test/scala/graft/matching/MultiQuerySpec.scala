@@ -80,6 +80,77 @@ class MultiQuerySpec extends SparkSpec {
       s"(${driver.searchesSkipped} skipped / ${driver.searchesRun} run)")
   }
 
+  test("index-aware driver (F3): same maintained counts, label-routed batches refuted by candidates skip") {
+    import spark.implicits._
+    // component A: a genuine (0)-(1)-(2) path; far away: isolated 10(l0), 11(l1)
+    val verts = Map(0L -> 0, 1L -> 1, 2L -> 2, 10L -> 0, 11L -> 1)
+    val edges = Set((0L, 1L, 0), (1L, 2L, 0))
+    val qs = Map("path" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(None, None)))
+    val driver = new MultiQueryDriver(spark, qs,
+      verts.toSeq.toDF("id", "vlabel"), edges.toSeq.toDF("src", "dst", "elabel"),
+      useCandidateIndex = true)
+    assert(driver.counts("path") == brute(qs("path"), verts, edges))
+
+    // add (10,11): signature (0,1,*) label-routes to the query, but after the
+    // insert-side index refresh neither endpoint is a candidate (11 has no
+    // label-2 neighbor), so the delta join is skipped entirely
+    driver.applyBatch(Seq(GraphUpdate(1, "e", 10L, 11L, 0)).toDS())
+    val edges2 = edges + ((10L, 11L, 0))
+    assert(driver.indexSkips == 1L, "candidate consult should refute this batch")
+    assert(driver.counts("path") == brute(qs("path"), verts, edges2))
+
+    // add (11,12) with l2 vertex 12: NOW a real path 10-11-12 appears and the
+    // index must let the search run (refresh makes 10/11/12 candidates)
+    driver.applyBatch(Seq(GraphUpdate(2, "v", 12L, 0L, 2),
+      GraphUpdate(3, "e", 11L, 12L, 0)).toDS())
+    val verts3 = verts + (12L -> 2)
+    val edges3 = edges2 + ((11L, 12L, 0))
+    assert(driver.counts("path") == brute(qs("path"), verts3, edges3))
+    assert(driver.searchesRun >= 1L)
+
+    // delete the far path again — index-aware delete side stays exact
+    driver.applyBatch(Seq(GraphUpdate(4, "-e", 10L, 11L, 0)).toDS())
+    val edges4 = edges3 - ((10L, 11L, 0))
+    assert(driver.counts("path") == brute(qs("path"), verts3, edges4))
+  }
+
+  test("index-aware driver matches the plain driver across the full batch suite") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    var verts = (0L until 12L).map(v => v -> rnd.nextInt(3)).toMap
+    var edges = Set((0L, 1L, 0), (1L, 2L, 1), (2L, 0L, 0), (3L, 4L, 1),
+      (4L, 5L, 0), (6L, 7L, 0), (8L, 9L, 1))
+    val driver = new MultiQueryDriver(spark, queries,
+      verts.toSeq.toDF("id", "vlabel"), edges.toSeq.toDF("src", "dst", "elabel"),
+      useCandidateIndex = true)
+    val batches = Seq(
+      Seq(GraphUpdate(1, "e", 5L, 3L, 0), GraphUpdate(2, "e", 7L, 8L, 1)),
+      Seq(GraphUpdate(3, "-e", 1L, 2L, 0), GraphUpdate(4, "e", 9L, 0L, 0)),
+      Seq(GraphUpdate(5, "-v", 4L, 0L, 0), GraphUpdate(6, "e", 6L, 8L, 2)))
+    def applyOracle(batch: Seq[GraphUpdate]): Unit = batch.foreach { u =>
+      u.op match {
+        case "v" => verts += (u.id1 -> u.label)
+        case "-v" =>
+          verts -= u.id1
+          edges = edges.filterNot(e => e._1 == u.id1 || e._2 == u.id1)
+        case "e" =>
+          val (a, b) = (math.min(u.id1, u.id2), math.max(u.id1, u.id2))
+          if (!edges.exists(e => e._1 == a && e._2 == b)) edges += ((a, b, u.label))
+        case "-e" =>
+          val (a, b) = (math.min(u.id1, u.id2), math.max(u.id1, u.id2))
+          edges = edges.filterNot(e => e._1 == a && e._2 == b)
+      }
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      driver.applyBatch(b.toDS())
+      applyOracle(b)
+      queries.foreach { case (n, q) =>
+        assert(driver.counts(n) == brute(q, verts, edges),
+          s"indexed driver batch ${i + 1} query $n")
+      }
+    }
+  }
+
   test("relabel hazard triggers a sound full recompute") {
     import spark.implicits._
     val verts = Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 0)

@@ -120,6 +120,28 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF ANN: clustered recall; probing all centroids = exact top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf recall $recall")
+    // probing every centroid degenerates to exact search
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8, nProbe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("embedding cosine near-dup: planted duplicate vector found") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
