@@ -28,11 +28,41 @@ object BenchLevel {
       .config("spark.sql.shuffle.partitions", blockP.toString)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.local.dir", shuffleDir)
+      // the packed loop shuffles Msg objects through the RDD serializer —
+      // Kryo handles the primitive arrays at Tungsten-comparable speed
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_LEVEL_DEBUG=1: report executor-job time vs driver wall per
+    // superstep (isolates the fixed driver-side term: Catalyst planning,
+    // scheduling, shim surgery)
+    val debug = sys.env.get("GRAFT_LEVEL_DEBUG").contains("1")
+    val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (debug) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, j.time)
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(j.jobId)
+          if (s != null) jobMs.addAndGet(j.time - s)
+        }
+      })
     val blocks = graft.algo.CsrPageRank.load(spark, blockPath)
-    val (_, _, m) = graft.algo.CsrPageRank.run(spark, blocks, tol = 0.0, maxIter = warm + iters)
+    val j0 = jobMs.get()
+    val t0 = System.nanoTime()
+    // runPacked: the RDD-loop kernel (identical recurrence; the Dataset loop
+    // pays ~1.4 s/superstep of per-iteration Catalyst planning — see
+    // CsrPageRank.runPacked doc — which is exactly the fixed serial term the
+    // N-vs-4N criterion punishes)
+    val (_, _, m) = graft.algo.CsrPageRank.runPacked(spark, blocks, tol = 0.0,
+      maxIter = warm + iters)
+    if (debug) {
+      val wall = (System.nanoTime() - t0) / 1000000L
+      System.err.println(s"LEVEL_DEBUG wallMs=$wall jobMs=${jobMs.get() - j0} " +
+        s"perStep=${m.map(_.wallMs).mkString(",")}")
+    }
     spark.stop()
     // clean the tmpfs dir (RAM is the scarce resource it occupies)
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(shuffleDir))

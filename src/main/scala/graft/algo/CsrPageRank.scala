@@ -348,6 +348,130 @@ object CsrPageRank {
     }
   }
 
+  /** pid-identity partitioner: block pid IS the partition index. */
+  private final class PidPartitioner(p: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = p
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def equals(o: Any): Boolean = o match {
+      case x: PidPartitioner => x.numPartitions == p
+      case _ => false
+    }
+    override def hashCode: Int = p
+  }
+
+  /** The SAME superstep recurrence with the iteration loop on co-partitioned
+    * RDDs instead of Dataset joins — the one measured place where Catalyst
+    * is a per-iteration cost, not a benefit: with the Dataset loop, each
+    * superstep re-analyzes/optimizes a fresh joinWith+cogroup plan
+    * (new LogicalRDD leaves every iteration), measured at ~1.4 s/superstep
+    * of driver wall (BenchLevel GRAFT_LEVEL_DEBUG: wall−jobMs) — a fixed
+    * serial term that alone caps 2→8-core scaling efficiency at ~0.69 on
+    * the 171M-edge artifact no matter how well the kernel scales. The
+    * north rule's "no RDD unless forced" is met with receipts: the data
+    * model, build, save/load and readback stay Datasets; only the loop
+    * drops to co-partitioned `join`/`cogroup` (both narrow — the ONE
+    * shuffle per superstep is the message exchange, exactly as before) with
+    * the identical per-block kernel, so results agree bit-for-bit with the
+    * Dataset loop (pinned by CsrPageRankSpec).
+    *
+    * Stats come from ONE `aggregate` action per superstep (materializes the
+    * persisted next state and folds dangling/L1/L∞ in the same job — no
+    * accumulators, so task retries cannot corrupt the recurrence). */
+  def runPacked(spark: SparkSession, blocks: Blocks, damping: Double = 0.85,
+                tol: Double = 1e-6, maxIter: Int = 100)
+      : (Dataset[RankBlock], Int, Seq[SuperstepMetrics]) = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val n = blocks.n.toDouble
+    val p = blocks.p
+    val part = new PidPartitioner(p)
+
+    val graphR = blocks.graph.rdd.map(g => (g.pid, g))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var state = blocks.init.rdd.map(r => (r.pid, r))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var danglingMass = state.map(_._2.danglingMass).sum()
+
+    var it = 0
+    var linf = Double.MaxValue
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
+    while (it < maxIter && linf >= tol) {
+      val t0 = System.nanoTime()
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      val damp = damping
+      val msgs = graphR.join(state, part) // co-partitioned: narrow
+        .flatMap { case (_, (g, r)) =>
+          val contrib = new Array[Double](g.outDeg.length)
+          var i = 0
+          while (i < contrib.length) {
+            if (g.outDeg(i) > 0) contrib(i) = r.ranks(i) / g.outDeg(i)
+            i += 1
+          }
+          val out = Vector.newBuilder[(Int, Msg)]
+          val m = g.edgeSrcIdx.length
+          var e = 0
+          while (e < m) {
+            val dPid = g.edgeDstPid(e)
+            val idxB = Array.newBuilder[Int]
+            val sumB = Array.newBuilder[Double]
+            while (e < m && g.edgeDstPid(e) == dPid) {
+              val dIdx = g.edgeDstIdx(e)
+              var s = 0.0
+              while (e < m && g.edgeDstPid(e) == dPid && g.edgeDstIdx(e) == dIdx) {
+                s += contrib(g.edgeSrcIdx(e))
+                e += 1
+              }
+              idxB += dIdx
+              sumB += s
+            }
+            out += ((dPid, Msg(dPid, g.pid, idxB.result(), sumB.result())))
+          }
+          out.result()
+        }
+        .partitionBy(part) // THE shuffle of the superstep
+      val newState = state.cogroup(msgs, part) // narrow on both sides
+        .mapValues { case (rs, ms) =>
+          val prev = rs.head
+          val nV = prev.ranks.length
+          val acc = new Array[Double](nV)
+          // deterministic accumulation order (sort by source block), same
+          // as the Dataset loop — floats agree across runs AND loops
+          ms.toArray.sortBy(_.srcPid).foreach { msg =>
+            var i = 0
+            while (i < msg.idx.length) { acc(msg.idx(i)) += msg.sums(i); i += 1 }
+          }
+          val ranks = new Array[Double](nV)
+          var dm = 0.0; var l1 = 0.0; var lf = 0.0
+          var i = 0
+          while (i < nV) {
+            val v = base + damp * acc(i)
+            ranks(i) = v
+            if (prev.dangling(i)) dm += v
+            val d = math.abs(v - prev.ranks(i))
+            l1 += d
+            if (d > lf) lf = d
+            i += 1
+          }
+          RankBlock(prev.pid, ranks, prev.dangling, dm, l1, lf)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (it % 25 == 24) newState.localCheckpoint() // bound RDD lineage depth
+      val (dm, l1, lf) = newState.aggregate((0.0, 0.0, 0.0))(
+        { case ((a, b, c), (_, r)) =>
+          (a + r.danglingMass, b + r.deltaL1, math.max(c, r.deltaLinf)) },
+        { case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, math.max(c1, c2)) })
+      danglingMass = dm
+      linf = lf
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      it += 1
+      metrics += SuperstepMetrics(it, wallMs, blocks.n, l1, linf, 0L)
+      state.unpersist(false)
+      state = newState
+    }
+    graphR.unpersist(false)
+    (spark.createDataset(state.values), it, metrics.toSeq)
+  }
+
   /** Unpack block state back to (id, rank) rows for verification/readback. */
   def toRows(spark: SparkSession, state: Dataset[RankBlock],
              verts: Dataset[VertsBlock]): DataFrame = {
@@ -358,12 +482,13 @@ object CsrPageRank {
       }.toDF("id", "rank")
   }
 
-  /** Convenience: full pipeline on (edges, vertices) DataFrames. */
+  /** Convenience: full pipeline on (edges, vertices) DataFrames (packed
+    * loop; the Dataset loop stays as the cross-implementation check). */
   def pagerank(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                damping: Double = 0.85, tol: Double = 1e-6, maxIter: Int = 100)
       : (DataFrame, Int, Seq[SuperstepMetrics]) = {
     val blocks = build(spark, edges, vertices)
-    val (state, iters, m) = run(spark, blocks, damping, tol, maxIter)
+    val (state, iters, m) = runPacked(spark, blocks, damping, tol, maxIter)
     (toRows(spark, state, blocks.verts), iters, m)
   }
 

@@ -195,11 +195,12 @@ object GraftQueries {
     }),
 
     "q_pagerank_csr" -> ((s, d) => {
-      // same 10-iteration recurrence through the CSR-block engine — shares
+      // same 10-iteration recurrence through the CSR-block engine's PACKED
+      // loop (the scaling kernel, CsrPageRank.runPacked) — shares
       // q_pagerank's DuckDB oracle, so the packed path is oracle-gated too
       val e = procurementEdges(s, d)
       val blocks = graft.algo.CsrPageRank.build(s, e, edgeVertices(e))
-      val (state, _, _) = graft.algo.CsrPageRank.run(s, blocks, tol = 0.0, maxIter = 10)
+      val (state, _, _) = graft.algo.CsrPageRank.runPacked(s, blocks, tol = 0.0, maxIter = 10)
       graft.algo.CsrPageRank.toRows(s, state, blocks.verts)
         .select(col("id"), round(col("rank"), 8).as("pr"))
         .orderBy("id")

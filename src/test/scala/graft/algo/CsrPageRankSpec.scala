@@ -80,4 +80,23 @@ class CsrPageRankSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     a.foreach { case (id, r) => assert(math.abs(r - b(id)) < 1e-6, s"auto rank($id)") }
   }
+
+  test("packed RDD loop == Dataset loop == oracle (the scaling kernel)") {
+    import spark.implicits._
+    val pages = spark.createDataset(PagesFixture.generate(6, 15))
+    val (v, e) = GraphBuilder.buildVerified(spark, pages)
+    val vDF = v.toDF().localCheckpoint(true)
+    val eDF = e.toDF().localCheckpoint(true)
+    val blocks = CsrPageRank.build(spark, eDF, vDF)
+    val (dsState, itersDs, _) = CsrPageRank.run(spark, blocks, tol = 1e-8, maxIter = 300)
+    val (rddState, itersRdd, m) = CsrPageRank.runPacked(spark, blocks, tol = 1e-8, maxIter = 300)
+    assert(itersDs == itersRdd, s"loop iteration counts differ: $itersDs vs $itersRdd")
+    assert(m.last.deltaLinf < 1e-8)
+    val a = CsrPageRank.toRows(spark, dsState, blocks.verts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = CsrPageRank.toRows(spark, rddState, blocks.verts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, r) => assert(r == b(id), s"packed-loop rank($id) differs") }
+  }
 }
