@@ -36,6 +36,9 @@ object Bench {
       // post-shuffle coalescing/replanning only adds per-stage latency there
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // the packed CSR loop (q_pagerank_csr) shuffles Msg objects through
+      // the RDD serializer; Kryo handles its primitive arrays ~Tungsten-fast
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -173,14 +176,16 @@ object Bench {
     // scales. 4× the edges (and one job/superstep instead of two) pushes the
     // constant below 10% of the local[8] superstep.
     val (sites, pps, iters, warm) = (80000, 1000, 5, 1)
-    // failures in the scaling section must not lose the JSON line
-    // 7 pinned child-JVM sessions (~2.5 min each incl. artifact load) fit
-    // the 1500s deadline; the 2<->8 pair is the north-rule N-vs-4N evidence,
-    // 32 is informational (pinning the whole machine measures co-tenant
-    // steal more than the engine)
+    // failures in the scaling section must not lose the JSON line.
+    // The packed loop cut per-session cost ~4x, so the 1500s deadline fits
+    // ~10 pinned child-JVM sessions; the schedule is 8-core-heavy because
+    // the 8-core level needs 8 simultaneously-free cores and is therefore
+    // the most co-tenant-weather-sensitive — best-of over more samples is
+    // what makes the N-vs-4N statistic reflect the engine, not the
+    // neighbors. 32 is informational.
     val (thr, nEdges) =
       if (skipScaling) (Map(2 -> 0.0, 8 -> 0.0, 32 -> 0.0), 0L)
-      else try scalingMatrix(Seq(2, 8, 32, 8, 2, 8, 2), sites, pps,
+      else try scalingMatrix(Seq(2, 8, 8, 32, 8, 2, 8, 32, 8, 2), sites, pps,
         blockP = 64, iters = iters, warm = warm)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")
