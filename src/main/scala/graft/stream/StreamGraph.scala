@@ -28,10 +28,21 @@ import graft.graph.GraphUpdate
 final class StreamGraph(spark: SparkSession,
                         initialVertices: DataFrame,
                         initialEdges: DataFrame,
-                        maintainTriangles: Boolean = false) {
+                        maintainTriangles: Boolean = false,
+                        maintainPageRank: Boolean = false,
+                        prTol: Double = 1e-6) {
 
   @volatile var vertices: DataFrame = initialVertices.localCheckpoint(true)
   @volatile var edges: DataFrame = initialEdges.localCheckpoint(true)
+
+  /** Maintained (id, rank) and the supersteps each refresh took — warm
+    * starts converge in a handful of iterations on small deltas, the
+    * measurable payoff of incremental maintenance vs recompute. */
+  @volatile var prRanks: DataFrame =
+    if (!maintainPageRank) null
+    else new graft.algo.PageRank(tol = prTol).run(spark, edges, vertices)
+      .state.localCheckpoint(true)
+  @volatile var prIterations: Seq[Int] = Seq.empty
   @volatile var ccState: DataFrame =
     new graft.algo.ConnectedComponents(maxIter = 60)
       .run(spark, edges, vertices).state.localCheckpoint(true)
@@ -83,6 +94,12 @@ final class StreamGraph(spark: SparkSession,
             trianglePositive += pos
             triangleNegative += neg
             triangleCount += pos - neg
+          }
+          if (maintainPageRank) {
+            val res = new graft.algo.PageRank(tol = prTol)
+              .runFrom(spark, e1, v1, prRanks)
+            prRanks = res.state.localCheckpoint(true)
+            prIterations = prIterations :+ res.iterations
           }
         }
         ()

@@ -84,6 +84,37 @@ class DeltaSpec extends SparkSpec {
     assert(es == Set((2L, 3L, 9)))
   }
 
+  test("streamed PageRank maintenance: warm restart equals cold recompute, fewer supersteps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // ring of 40 + a few chords; delta = 3 edge adds + 1 delete
+    val n = 40L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val e0 = (ring ++ Seq((0L, 20L), (5L, 25L))).toDF("src", "dst")
+    val v0 = (0L until n).toDF("id")
+    val g = new StreamGraph(spark, v0, e0, maintainPageRank = true, prTol = 1e-9)
+    val coldInitIters = new graft.algo.PageRank(tol = 1e-9)
+      .run(spark, e0, v0).iterations
+
+    val mem = MemoryStream[GraphUpdate]
+    mem.addData(GraphUpdate(1, "e", 10L, 30L, 0), GraphUpdate(2, "e", 2L, 12L, 0),
+      GraphUpdate(3, "e", 7L, 37L, 0), GraphUpdate(4, "-e", 5L, 25L, 0))
+    val q = g.start(mem.toDS())
+    q.awaitTermination(120000)
+
+    val cold = new graft.algo.PageRank(tol = 1e-9).run(spark, g.edges, g.vertices)
+    val want = cold.state.select("id", "rank").as[(Long, Double)].collect().toMap
+    val got = g.prRanks.select("id", "rank").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-6, s"warm rank($id): ${got(id)} vs $r")
+    }
+    assert(g.prIterations.nonEmpty && g.prIterations.head < cold.iterations,
+      s"warm ${g.prIterations} should beat cold ${cold.iterations} supersteps " +
+        s"(initial cold run took $coldInitIters)")
+  }
+
   test("triangle delta plans contain no Window node; bulk == seeded == oracle") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
