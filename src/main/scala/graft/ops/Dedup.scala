@@ -121,8 +121,15 @@ object Dedup {
     * over shingles of shingleHash(shingle, i). One explode + one groupBy with
     * numPerm algebraic min aggregates (a single shuffle). */
   def minhashSignatures(docs: DataFrame, n: Int, numPerm: Int,
-                        shingleHash: (Column, Int) => Column = xxShingleHash): DataFrame = {
-    val sh = shingles(docs, n)
+                        shingleHash: (Column, Int) => Column = xxShingleHash): DataFrame =
+    signaturesFromShingles(shingles(docs, n), numPerm, shingleHash)
+
+  /** Signatures over an already-materialized (doc_id, shingle) table — lets
+    * the near-dup pipeline compute shingles ONCE and share them between the
+    * signature pass and the exact-verify pass without relying on
+    * CacheManager plan-matching. */
+  def signaturesFromShingles(sh: DataFrame, numPerm: Int,
+                             shingleHash: (Column, Int) => Column = xxShingleHash): DataFrame = {
     val aggs = (0 until numPerm).map(i =>
       min(shingleHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -138,8 +145,12 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
       struct(lit(bIdx).as("band"), bandHash(cols).as("bh"))
     }
+    // materialize the bucket table ONCE: the signature pipeline above it is
+    // the expensive part (numPerm hash-min aggregates per shingle), and the
+    // cap scan + both self-join sides would otherwise re-evaluate it 3x
     val raw = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .localCheckpoint(true)
     val buckets = capBuckets(raw, Seq("band", "bh"), maxBucketSize)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -157,9 +168,12 @@ object Dedup {
                       bandHash: Seq[Column] => Column = xxBandHash,
                       maxBucketSize: Long = 100000L): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val cands = lshCandidates(minhashSignatures(docs, n, numPerm, shingleHash),
-      bands, rowsPerBand, bandHash, maxBucketSize)
+    // one materialized shingle table feeds BOTH the signature pipeline and
+    // the exact-Jaccard verification (the expensive tokenize+distinct pass
+    // runs once)
     val sh = shingles(docs, n).localCheckpoint(true)
+    val cands = lshCandidates(signaturesFromShingles(sh, numPerm, shingleHash),
+      bands, rowsPerBand, bandHash, maxBucketSize)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val interCnt = cands
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingle", "sa"), "a")

@@ -86,9 +86,12 @@ object Similarity {
     }
     val qb = buckets(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec")
     // cap the CORPUS side: a degenerate bucket (e.g. all-zero vectors) would
-    // otherwise fan every query colliding with it across the whole corpus
+    // otherwise fan every query colliding with it across the whole corpus.
+    // The sketch computation (nTables x nBits dot products per vector) is
+    // materialized once so the cap scan doesn't re-evaluate it.
     val cb = Dedup.capBuckets(
-      buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec"),
+      buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+        .localCheckpoint(true),
       Seq("tbl", "bkt"), maxBucketSize)
     val cands = qb.join(cb, Seq("tbl", "bkt"))
       .where(col("qid") =!= col("nid"))
@@ -161,9 +164,11 @@ object Similarity {
       struct(lit(t).as("tbl"),
         signSketch(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bkt"))
     }
+    // sketches materialized once (cap scan + both self-join sides reuse)
     val raw = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(array(tableCols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .localCheckpoint(true)
     val bk = Dedup.capBuckets(raw, Seq("tbl", "bkt"), maxBucketSize)
     bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&

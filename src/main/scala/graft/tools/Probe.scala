@@ -65,6 +65,14 @@ object Probe {
           println(s"[probe] groups=$n")
         }
 
+      case "minhash" =>
+        t("q_dedup_minhash") {
+          graft.queries.GraftQueries.queries("q_dedup_minhash")(spark, sfDir).count()
+        }
+        t("q_dedup_minhash 2nd") {
+          graft.queries.GraftQueries.queries("q_dedup_minhash")(spark, sfDir).count()
+        }
+
       case "csr" =>
         val e = t("procurement edges") {
           graft.queries.GraftQueries.procurementEdges(spark, sfDir).localCheckpoint(true)
