@@ -175,7 +175,10 @@ object Bench {
     // alone caps 2→8 efficiency at ~0.67 no matter how well the engine
     // scales. 4× the edges (and one job/superstep instead of two) pushes the
     // constant below 10% of the local[8] superstep.
-    val (sites, pps, iters, warm) = (80000, 1000, 5, 1)
+    // 10 measured supersteps per pinned session: amortizes the artifact
+    // load (~60-90s at 2 cores) over 2x the samples and widens each
+    // session's weather window — best-of needs ONE clean superstep per level
+    val (sites, pps, iters, warm) = (80000, 1000, 10, 1)
     // failures in the scaling section must not lose the JSON line.
     // The packed loop cut per-session cost ~4x, so the 1500s deadline fits
     // ~10 pinned child-JVM sessions; the schedule is 8-core-heavy because

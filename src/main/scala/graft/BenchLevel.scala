@@ -49,7 +49,7 @@ object BenchLevel {
           if (s != null) jobMs.addAndGet(j.time - s)
         }
       })
-    val blocks = graft.algo.CsrPageRank.load(spark, blockPath)
+    val blocks = graft.algo.CsrPageRank.loadForBench(spark, blockPath)
     val j0 = jobMs.get()
     val t0 = System.nanoTime()
     // runPacked: the RDD-loop kernel (identical recurrence; the Dataset loop

@@ -214,7 +214,16 @@ object CsrPageRank {
       s"""{"n":${blocks.n},"p":${blocks.p}}""")
   }
 
-  def load(spark: SparkSession, path: String): Blocks = {
+  def load(spark: SparkSession, path: String): Blocks =
+    loadImpl(spark, path, withVerts = true)
+
+  /** Bench-path load: the superstep kernel never touches the vertex-id
+    * arrays, and materializing them is ~1/3 of a level session's load time
+    * at low core counts. */
+  def loadForBench(spark: SparkSession, path: String): Blocks =
+    loadImpl(spark, path, withVerts = false)
+
+  private def loadImpl(spark: SparkSession, path: String, withVerts: Boolean): Blocks = {
     import spark.implicits._
     val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "meta.json"))
     val n = """"n":(\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
@@ -222,8 +231,9 @@ object CsrPageRank {
     Blocks(
       spark.read.parquet(s"$path/graph").as[GraphBlock]
         .repartition(p, col("pid")).localCheckpoint(true),
-      spark.read.parquet(s"$path/verts").as[VertsBlock]
-        .repartition(p, col("pid")).localCheckpoint(true),
+      if (withVerts) spark.read.parquet(s"$path/verts").as[VertsBlock]
+        .repartition(p, col("pid")).localCheckpoint(true)
+      else spark.emptyDataset[VertsBlock],
       spark.read.parquet(s"$path/init").as[RankBlock]
         .repartition(p, col("pid")).localCheckpoint(true),
       n, p)

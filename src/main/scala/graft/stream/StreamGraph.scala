@@ -13,13 +13,15 @@ import graft.graph.GraphUpdate
   * classified (safe/unsafe), safe updates fold into state without
   * recompute, unsafe ones trigger the incremental algorithm.
   *
-  * Two continuously-maintained results:
+  * Three continuously-maintained results:
   *  - connected components (warm-start on adds, cold on deletes);
   *  - the TRIANGLE COUNT via delta joins (J3/J4): per batch,
   *    count += touching(E_new, added) − touching(E_old, deleted) — the
   *    reference's positive/negative result counters
   *    (graphflow.cpp:289-416), never a from-scratch recount. This is
-  *    continuous subgraph matching for Q = C₃ on the stream.
+  *    continuous subgraph matching for Q = C₃ on the stream;
+  *  - PAGERANK via warm restarts (PageRank.runFrom): carried ranks converge
+  *    to the cold fixpoint in a handful of supersteps on small deltas.
   *
   * State lives in driver-held DataFrames that are localCheckpoint'd per
   * batch (single-process tier); on a cluster the same code commits per-batch
@@ -96,10 +98,10 @@ final class StreamGraph(spark: SparkSession,
             triangleCount += pos - neg
           }
           if (maintainPageRank) {
-            val res = new graft.algo.PageRank(tol = prTol)
+            val prRes = new graft.algo.PageRank(tol = prTol)
               .runFrom(spark, e1, v1, prRanks)
-            prRanks = res.state.localCheckpoint(true)
-            prIterations = prIterations :+ res.iterations
+            prRanks = prRes.state.localCheckpoint(true)
+            prIterations = prIterations :+ prRes.iterations
           }
         }
         ()
