@@ -40,8 +40,14 @@ import org.apache.spark.sql.functions._
 object CandidateIndex {
 
   /** Per-round candidate tables, each a (qv: String, id: Long) DataFrame
-    * (round 0 = label base, last = the index GraphMatcher consumes). */
-  final case class Index(query: QueryGraph, perRound: Vector[DataFrame]) {
+    * (round 0 = label base, last = the index GraphMatcher consumes).
+    * `vertexIds` is the FULL vertex-id set the index was built/refreshed
+    * against — round 0 is label-filtered, so "is this vertex new?" must be
+    * answered against this set, never against round-0 membership (a
+    * non-matching-label vertex would otherwise be re-seeded every refresh,
+    * growing the frontier to O(|V|) per batch). */
+  final case class Index(query: QueryGraph, perRound: Vector[DataFrame],
+                         vertexIds: DataFrame) {
     def rounds: Int = perRound.size - 1
     def candidates: Map[String, DataFrame] = query.vertices.map { v =>
       v.name -> perRound.last.where(col("qv") === v.name).select(col("id"))
@@ -109,7 +115,7 @@ object CandidateIndex {
       per = per :+ next
       round += 1
     }
-    Index(query, per)
+    Index(query, per, vertices.select(col("id")).localCheckpoint(true))
   }
 
   /** Back-compat map view (builds its own relation). */
@@ -137,8 +143,11 @@ object CandidateIndex {
                        addedEdges: DataFrame): (Index, RefreshStats) = {
     val endpoints = addedEdges.select(col("src").as("id"))
       .union(addedEdges.select(col("dst").as("id"))).distinct()
+    // genuinely-new = not in the PRIOR FULL vertex set (round 0 is label-
+    // filtered, so anti-joining it would re-seed every non-matching-label
+    // vertex each refresh — an O(|V|) frontier; round-3 advice finding)
     val newVerts = verticesNew.select(col("id"))
-      .join(prev.perRound(0).select(col("id")).distinct(), Seq("id"), "left_anti")
+      .join(prev.vertexIds, Seq("id"), "left_anti")
     val seedIds = endpoints.union(newVerts).distinct().localCheckpoint(true)
 
     // round 0: label base only grows by genuinely new vertices.
@@ -175,7 +184,8 @@ object CandidateIndex {
         .select(col("src").as("id"))
         .union(seedIds).distinct().localCheckpoint(true)
     }
-    (Index(query, per), RefreshStats(frontierSizes.toSeq, diffs))
+    val idsNew = verticesNew.select(col("id")).localCheckpoint(true)
+    (Index(query, per, idsNew), RefreshStats(frontierSizes.toSeq, diffs))
   }
 
   /** Shrink-only refresh after deletes: re-prune the previous per-round sets
@@ -196,7 +206,7 @@ object CandidateIndex {
         .localCheckpoint(true)
       per = per :+ next
     }
-    Index(query, per)
+    Index(query, per, live.localCheckpoint(true))
   }
 
   /** Deprecated round-2 surface: shrink-only refresh via full rebuild +

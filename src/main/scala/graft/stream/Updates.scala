@@ -133,12 +133,14 @@ object Updates {
     *
     * Candidate keys come from the RAW ops (not the compacted ones: a mid-
     * batch `-v` cascades deletions even when the vertex's compacted final op
-    * is a re-add): 'a' = keys of `e` ops, 'd' = keys of `-e` ops plus edges
-    * incident to any `-v` vertex (an isin filter on the same scan). Each
-    * full table is scanned ONCE with the tiny key set broadcast — no
-    * ShuffleExchange touches the edge tables (asserted by UpdatesSpec); at
-    * warehouse scale the scan itself prunes via bucketing/DPP on the key
-    * columns. */
+    * is a re-add). Add/delete candidacy is NON-EXCLUSIVE: an edge is an add
+    * candidate (isA) when it has an `e` op, and a delete candidate (isD)
+    * when it has a `-e` op OR is incident to any `-v` vertex — one edge can
+    * be both (e.g. before has (6,7); batch = [e 6 7, -v 7]: the duplicate
+    * add must not mask the cascade delete). Each full table is scanned ONCE
+    * with the tiny key set broadcast — no ShuffleExchange touches the edge
+    * tables (asserted by UpdatesSpec); at warehouse scale the scan itself
+    * prunes via bucketing/DPP on the key columns. */
   def edgeDelta(spark: SparkSession, before: DataFrame, after: DataFrame,
                 batch: Dataset[GraphUpdate]): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -154,8 +156,12 @@ object Updates {
     val vDelIds = b.where(col("op") === "-v").select(col("id1")).distinct()
       .as[Long].collect().toSeq
 
-    val keys = eAddKeys.withColumn("tag", lit("a"))
-      .unionByName(eDelKeys.withColumn("tag", lit("d")))
+    // one row per candidate key carrying both flags (an edge can be an add
+    // AND a delete candidate in the same batch — the flags are independent)
+    val keys = eAddKeys.withColumn("kA", lit(true)).withColumn("kD", lit(false))
+      .unionByName(eDelKeys.withColumn("kA", lit(false)).withColumn("kD", lit(true)))
+      .groupBy(col("lo"), col("hi"))
+      .agg(max(col("kA")).as("kA"), max(col("kD")).as("kD"))
       .localCheckpoint(true)
 
     def hits(t: DataFrame): DataFrame = {
@@ -166,9 +172,10 @@ object Updates {
         if (vDelIds.isEmpty) lit(false)
         else col("lo").isin(vDelIds: _*) || col("hi").isin(vDelIds: _*)
       s.join(broadcast(keys), Seq("lo", "hi"), "left_outer")
-        .withColumn("tag", when(col("tag").isNotNull, col("tag"))
-          .when(incident, lit("d")))
-        .where(col("tag").isNotNull)
+        .withColumn("isA", coalesce(col("kA"), lit(false)))
+        .withColumn("isD", coalesce(col("kD"), lit(false)) || incident)
+        .where(col("isA") || col("isD"))
+        .select(col("lo"), col("hi"), col("isA"), col("isD"))
         .distinct() // tiny: bounded by |Δ| + deg(deleted vertices)
     }
     // no materialization: the hit sets are tiny and keeping them lazy keeps
@@ -177,11 +184,13 @@ object Updates {
     // asserts no SortMergeJoin/ShuffledHashJoin ever touches the edge tables
     val hb = hits(before)
     val ha = hits(after)
-    val added = ha.where(col("tag") === "a")
-      .join(broadcast(hb.where(col("tag") === "a")), Seq("lo", "hi"), "left_anti")
+    val added = ha.where(col("isA")).select(col("lo"), col("hi"))
+      .join(broadcast(hb.where(col("isA")).select(col("lo"), col("hi"))),
+        Seq("lo", "hi"), "left_anti")
       .select(col("lo").as("src"), col("hi").as("dst"))
-    val deleted = hb.where(col("tag") === "d")
-      .join(broadcast(ha.where(col("tag") === "d")), Seq("lo", "hi"), "left_anti")
+    val deleted = hb.where(col("isD")).select(col("lo"), col("hi"))
+      .join(broadcast(ha.where(col("isD")).select(col("lo"), col("hi"))),
+        Seq("lo", "hi"), "left_anti")
       .select(col("lo").as("src"), col("hi").as("dst"))
     (added, deleted)
   }

@@ -225,6 +225,34 @@ class MatchingR3Spec extends SparkSpec {
     }
   }
 
+  test("refreshAfterAdds frontier ignores pre-existing non-matching-label vertices") {
+    import spark.implicits._
+    // 400 vertices but 3/4 carry label 9, which no query vertex matches —
+    // round 0 excludes them, so an anti-join against round 0 would call them
+    // all "new" every refresh (round-3 advice finding: O(|V|) frontier).
+    val n = 400
+    val verts = (0L until n.toLong)
+      .map(v => v -> (if (v % 4 == 0L) (v % 3).toInt else 9)).toMap
+    val ring = (0L until n.toLong).map(v => (v, (v + 1) % n, (v % 2).toInt)).toSet
+    val chords = Set((16L, 200L, 1), (48L, 300L, 0))
+    val vDF = verts.toSeq.toDF("id", "vlabel")
+    val baseDF = ring.toSeq.toDF("src", "dst", "elabel")
+    val allDF = (ring ++ chords).toSeq.toDF("src", "dst", "elabel")
+    val addsDF = chords.toSeq.map(c => (c._1, c._2)).toDF("src", "dst")
+    val q = QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(Some(1), Some(0)))
+
+    val relOld = GraphMatcher.materializedRelation(baseDF, vDF)
+    val relNew = GraphMatcher.materializedRelation(allDF, vDF)
+    val idx0 = CandidateIndex.buildOnRel(spark, q, relOld, vDF, rounds = 2)
+    val (refreshed, stats) =
+      CandidateIndex.refreshAfterAdds(spark, q, relNew, vDF, idx0, addsDF)
+    val rebuilt = CandidateIndex.buildOnRel(spark, q, relNew, vDF, rounds = 2)
+    assert(candSets(refreshed) == candSets(rebuilt))
+    assert(stats.frontierSizes.forall(_ <= 40L),
+      s"frontier ${stats.frontierSizes} must stay O(|delta|*deg^r); " +
+        s"non-matching-label vertices (300 of $n) must not be re-seeded")
+  }
+
   test("refreshAfterDeletes: shrink-only refresh stays result-preserving") {
     val (verts, edges) = randomLabeled(17, n = 16, m = 40)
     val dels = edges.take(6)

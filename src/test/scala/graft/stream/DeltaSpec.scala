@@ -42,6 +42,25 @@ class DeltaSpec extends SparkSpec {
     assert(v1.count() == 13) // 12 + 19,20 - 7
   }
 
+  test("edgeDelta: duplicate add must not mask a same-batch -v cascade delete") {
+    import spark.implicits._
+    // before has (6,7); batch re-adds it AND deletes vertex 7 — the edge is
+    // gone after the batch and MUST be reported deleted (round-3 advice: the
+    // 'a' key tag used to win over the -v incident check, yielding no delta)
+    val v0 = (0L until 10L).toDF("id")
+    val e0 = Seq((6L, 7L), (1L, 2L)).toDF("src", "dst")
+    val batch = Seq(
+      GraphUpdate(1, "e", 6L, 7L, 0),
+      GraphUpdate(2, "-v", 7L, 0L, 0)).toDS()
+    val (_, e1) = Updates.applyBatch(spark, v0, e0, batch)
+    val e1c = e1.localCheckpoint(true)
+    val (added, deleted) = Updates.edgeDelta(spark, e0, e1c, batch)
+    assert(canonSet(added) == (canonSet(e1c) -- canonSet(e0)))
+    assert(canonSet(deleted) == (canonSet(e0) -- canonSet(e1c)))
+    assert(canonSet(deleted) == Set((6L, 7L)), "cascade delete masked by duplicate add")
+    assert(canonSet(added).isEmpty)
+  }
+
   test("edgeDelta never shuffles the edge tables (broadcast-only joins)") {
     import spark.implicits._
     val v0 = (0L until 2000L).toDF("id")
