@@ -135,6 +135,67 @@ object Bench {
     (best.map { case (c, ms) => c -> nEdges.toDouble / (ms / 1000.0) }.toMap, nEdges)
   }
 
+  /** Streaming continuous-matching bench (the number to set against the
+    * reference's headline updates/s, BASELINE.md "Incremental Matching"):
+    * replay a deterministic update stream — written and re-parsed in the
+    * reference's text format (S2) — through the J6 materialized-state
+    * multi-query driver over the sf-scale labeled co-purchase graph.
+    * Returns (updates, batches, seconds, safeFraction, updatesPerSec).
+    * Honest framing: a Spark micro-batch pays a fixed driver/coordination
+    * cost per batch that row-at-a-time C++ does not; throughput here is
+    * batch-size-amortized and the scale story is horizontal (more
+    * executors), not single-thread latency. */
+  private def streamingBench(spark: SparkSession, sfDir: String,
+                             batches: Int, opsPerBatch: Int)
+      : (Long, Int, Double, Double) = {
+    import spark.implicits._
+    import graft.matching.{MultiQueryDriver, QueryGraph}
+    val e = graft.queries.GraftQueries.copurchaseEdges(spark, sfDir)
+      .withColumn("elabel", ((col("src") + col("dst")) % 3).cast("int"))
+      .localCheckpoint(true)
+    val v = graft.queries.GraftQueries.table(spark, sfDir, "part")
+      .select(col("p_partkey").as("id"), (col("p_partkey") % 4).cast("int").as("vlabel"))
+      .localCheckpoint(true)
+    val qs = Map(
+      "p012" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(Some(1), Some(2))),
+      "p123" -> QueryGraph.path(Seq(Some(1), Some(2), Some(3)), Seq(Some(0), Some(1))))
+    val driver = new MultiQueryDriver(spark, qs, v, e, materializeState = true)
+
+    // deterministic stream in the reference text format, then re-parsed
+    // through the TextGraph loader (same grammar as graph.cpp:251-285)
+    val ids = v.orderBy(col("id")).limit(4000).select(col("id")).as[Long].collect()
+    val rnd = new scala.util.Random(7)
+    val live = scala.collection.mutable.Set.empty[(Long, Long)]
+    var seq = 0L
+    val lines = new scala.collection.mutable.ArrayBuffer[String]
+    (1 to batches).foreach { _ =>
+      (1 to opsPerBatch).foreach { _ =>
+        seq += 1
+        if (live.nonEmpty && rnd.nextInt(10) < 3) {
+          val p = live.head; live -= p
+          lines += s"-e ${p._1} ${p._2} ${(p._1 + p._2) % 3}"
+        } else {
+          val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+          if (a != b) {
+            val (lo, hi) = (math.min(a, b), math.max(a, b))
+            if (live.add((lo, hi))) lines += s"e $lo $hi ${(lo + hi) % 3}"
+            else seq -= 1
+          } else seq -= 1
+        }
+      }
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft-stream", ".txt")
+    java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
+    val ups = graft.graph.TextGraph.loadUpdates(spark, tmp.toString)
+      .collect().sortBy(_.seq)
+    val slices = ups.grouped(math.max(1, ups.length / batches)).toSeq
+
+    val t0 = System.nanoTime()
+    slices.foreach(b => driver.applyBatch(spark.createDataset(b.toSeq)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    (ups.length.toLong, slices.size, secs, driver.safeFraction)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -160,6 +221,23 @@ object Bench {
         System.err.println(f"[bench] $name%-22s $secs%8.2fs")
         name -> secs
       }
+
+    // streaming tier (skippable for quick iteration)
+    val skipStreaming = sys.env.get("SPARK_GRAFT_SKIP_STREAMING").contains("1")
+    val (sUpd, sBatches, sSecs, sSafe) =
+      if (skipStreaming) (0L, 0, 0.0, 0.0)
+      else try {
+        val r = graft.util.Limits.runWithTimeout(spark, "bench-streaming", 900000L) {
+          streamingBench(spark, sfDir, batches = 6, opsPerBatch = 2000)
+        }
+        r.getOrElse((0L, 0, 0.0, 0.0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        (0L, 0, 0.0, 0.0)
+      }
+    val sRate = if (sSecs > 0) sUpd / sSecs else 0.0
+    System.err.println(f"[bench] streaming $sUpd updates / $sBatches batches " +
+      f"in $sSecs%.1fs = $sRate%.0f upd/s (safe=$sSafe%.2f)")
     spark.stop()
 
     // Scaling evidence, same input + same job at three parallelism levels,
@@ -205,6 +283,8 @@ object Bench {
       f""""throughput_n_local2":${thr2}%.0f,"throughput_4n_local8":${thr8}%.0f,""" +
       f""""efficiency":$eff%.3f,""" +
       f""""throughput_local32":${thr32}%.0f,"efficiency_8_to_32":$eff832%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","scaling":$scaling%s}""")
+    val streaming = f"""{"updates":$sUpd,"batches":$sBatches,"seconds":$sSecs%.1f,""" +
+      f""""updates_per_sec":$sRate%.0f,"safe_fraction":$sSafe%.3f,"mode":"sjtree-state"}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","scaling":$scaling%s,"streaming":$streaming%s}""")
   }
 }

@@ -41,12 +41,17 @@ object BenchLevel {
     val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
     if (debug) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          starts.put(j.jobId, j.time)
+        // boxed Long, NOT scala Long: remove() must yield null (skip) when
+        // no start was recorded — a primitive map would unbox null to 0 and
+        // add the raw epoch timestamp to jobMs, corrupting the diagnostic
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(j.jobId, java.lang.Long.valueOf(j.time)); ()
+        }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val s = starts.remove(j.jobId)
-          if (s != null) jobMs.addAndGet(j.time - s)
+          val s = starts.remove(Integer.valueOf(j.jobId))
+          if (s != null) { jobMs.addAndGet(j.time - s.longValue()); () }
         }
       })
     val blocks = graft.algo.CsrPageRank.loadForBench(spark, blockPath)

@@ -31,6 +31,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // data-dependent oracle artifacts (trained IVF centroids) must exist
+    // before oracleSql is rendered — idempotent if q_ann_ivf already ran
+    try graft.queries.GraftQueries.prepareOracles(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] prepareOracles failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -35,18 +35,26 @@ object Bfs {
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited.select(col("id"))
     var level = 0L
-    var frontierSize = frontier.count()
+    var visitedCount = visited.count()
+    var frontierSize = visitedCount
 
+    // ONE action per level (round-3 ran three: eager next checkpoint, next
+    // count, eager visited checkpoint — ~150 driver-synchronized jobs at
+    // depth 50): both checkpoints are LAZY and counting the new visited
+    // materializes them together; the frontier size is the count delta.
     while (frontierSize > 0 && level < maxDepth) {
       level += 1
       val next = frontier.join(und, frontier("id") === und("src"))
         .select(und("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      frontierSize = next.count()
+        .withColumn("depth", lit(level))
+        .localCheckpoint(false)
+      val newVisited = visited.union(next).localCheckpoint(false)
+      val c = newVisited.count()
+      frontierSize = c - visitedCount
       if (frontierSize > 0) {
-        visited = visited.union(next.withColumn("depth", lit(level)))
-          .localCheckpoint(true)
+        visited = newVisited
+        visitedCount = c
         frontier = next.select(col("id"))
       }
     }
@@ -82,19 +90,25 @@ object Bfs {
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited.select(col("root"), col("id"))
     var level = 0L
-    var n = frontier.count()
+    var visitedCount = visited.count()
+    var n = visitedCount
     var maxSeen = 0L
+    // same one-action-per-level fusion as depths()
     while (n > 0 && level < maxDepth) {
       level += 1
       val next = frontier.join(und, frontier("id") === und("src"))
         .select(col("root"), und("dst").as("id")).distinct()
         .join(visited, Seq("root", "id"), "left_anti")
-        .localCheckpoint(true)
-      n = next.count()
+        .withColumn("depth", lit(level))
+        .localCheckpoint(false)
+      val newVisited = visited.union(next).localCheckpoint(false)
+      val c = newVisited.count()
+      n = c - visitedCount
       if (n > 0) {
         maxSeen = level
-        visited = visited.union(next.withColumn("depth", lit(level))).localCheckpoint(true)
-        frontier = next
+        visited = newVisited
+        visitedCount = c
+        frontier = next.select(col("root"), col("id"))
       }
     }
     und.unpersist()

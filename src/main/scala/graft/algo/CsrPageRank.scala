@@ -54,8 +54,14 @@ object CsrPageRank {
 
   final case class Msg(pid: Int, srcPid: Int, idx: Array[Int], sums: Array[Double])
 
-  final case class Blocks(graph: Dataset[GraphBlock], verts: Dataset[VertsBlock],
-                          init: Dataset[RankBlock], n: Long, p: Int)
+  final case class Blocks(graph: Dataset[GraphBlock], verts: Option[Dataset[VertsBlock]],
+                          init: Dataset[RankBlock], n: Long, p: Int) {
+    /** Fail-fast accessor: a bench-path load (loadForBench) carries no
+      * vertex-id arrays — silently joining an empty verts table would
+      * produce an empty result instead of an error (round-3 advice). */
+    def vertsOrFail: Dataset[VertsBlock] = verts.getOrElse(throw new IllegalStateException(
+      "Blocks were loaded without vertex ids (loadForBench) — toRows/save need load()/build()"))
+  }
 
   /** One-time build: index vertices, pack edges into blocks. Three shuffles
     * total (vertex indexing, edge placement, block packing) — amortized over
@@ -132,7 +138,7 @@ object CsrPageRank {
     val vertsDs = verts.map { case (pid, ids, _) => VertsBlock(pid, ids) }
       .localCheckpoint(true)
 
-    Blocks(graph, vertsDs, init, n, p)
+    Blocks(graph, Some(vertsDs), init, n, p)
   }
 
   /** Fast-path build for DENSE vertex ids in [0, nVerts): pid = id mod P,
@@ -187,7 +193,7 @@ object CsrPageRank {
       VertsBlock(g.pid, Array.tabulate(g.outDeg.length)(i => i.toLong * p + g.pid))
     }.localCheckpoint(true)
 
-    Blocks(graphAll, verts, init, nVerts, p)
+    Blocks(graphAll, Some(verts), init, nVerts, p)
   }
 
   /** Group consecutive runs of a sorted (key, payload) iterator. */
@@ -208,7 +214,7 @@ object CsrPageRank {
     * artifact, like a real N-vs-4N executor test reads one table. */
   def save(blocks: Blocks, path: String): Unit = {
     blocks.graph.write.mode("overwrite").parquet(s"$path/graph")
-    blocks.verts.write.mode("overwrite").parquet(s"$path/verts")
+    blocks.vertsOrFail.write.mode("overwrite").parquet(s"$path/verts")
     blocks.init.write.mode("overwrite").parquet(s"$path/init")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "meta.json"),
       s"""{"n":${blocks.n},"p":${blocks.p}}""")
@@ -231,9 +237,9 @@ object CsrPageRank {
     Blocks(
       spark.read.parquet(s"$path/graph").as[GraphBlock]
         .repartition(p, col("pid")).localCheckpoint(true),
-      if (withVerts) spark.read.parquet(s"$path/verts").as[VertsBlock]
-        .repartition(p, col("pid")).localCheckpoint(true)
-      else spark.emptyDataset[VertsBlock],
+      if (withVerts) Some(spark.read.parquet(s"$path/verts").as[VertsBlock]
+        .repartition(p, col("pid")).localCheckpoint(true))
+      else None,
       spark.read.parquet(s"$path/init").as[RankBlock]
         .repartition(p, col("pid")).localCheckpoint(true),
       n, p)
@@ -499,7 +505,7 @@ object CsrPageRank {
       : (DataFrame, Int, Seq[SuperstepMetrics]) = {
     val blocks = build(spark, edges, vertices)
     val (state, iters, m) = runPacked(spark, blocks, damping, tol, maxIter)
-    (toRows(spark, state, blocks.verts), iters, m)
+    (toRows(spark, state, blocks.vertsOrFail), iters, m)
   }
 
   /** Size-routed PageRank — the measured CROSSOVER between the two physical

@@ -50,7 +50,18 @@ object GraphBuilder {
       countDistinct(xxhash64(col("url"))).as("ids")).head()
     require(row.getLong(0) == row.getLong(1),
       s"xxhash64(url) collision: ${row.getLong(0)} urls -> ${row.getLong(1)} ids; " +
-        "switch to the 128-bit two-column key")
+        "switch to buildSafe's dense-dictionary path")
+  }
+
+  /** Non-throwing audit twin (parameterized so tests can force the
+    * collision regime with a deliberately narrow id function). */
+  def idsCollide(pages: Dataset[Page],
+                 idExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                   = xxhash64(_)): Boolean = {
+    val row = pages.agg(
+      countDistinct(col("url")).as("urls"),
+      countDistinct(idExpr(col("url"))).as("ids")).head()
+    row.getLong(0) != row.getLong(1)
   }
 
   /** Build all graph tables with the collision audit on. */
@@ -58,6 +69,57 @@ object GraphBuilder {
       : (Dataset[Vertex], Dataset[Edge]) = {
     collisionAudit(pages)
     (verticesFromPages(spark, pages), edgesFromPages(spark, pages))
+  }
+
+  /** COLLISION-SAFE build — the 10^12-document path (the birthday bound
+    * makes a single 64-bit hash collide with near-certainty around 2^32
+    * urls): every distinct url (pages AND link targets) is remapped to a
+    * DENSE long via a dictionary, so ids are collision-free by construction
+    * and every downstream algorithm keeps its single-long join key (a
+    * (hi, lo) 128-bit key would double every shuffle's key bytes instead).
+    * The dictionary costs one distinct + zipWithUniqueId pass at build time
+    * — one-time, amortized over every superstep; at warehouse scale it is
+    * itself a persisted table. Id VALUES are assignment-dependent, but all
+    * results are read back per url through the vertex dictionary, so
+    * url-keyed outputs are independent of the assignment (test-pinned
+    * against the hash path). */
+  def buildDense(spark: SparkSession, pages: Dataset[Page])
+      : (Dataset[Vertex], Dataset[Edge]) = {
+    import spark.implicits._
+    val links = pages.flatMap { p =>
+      Extract.extractLinks(p.html, p.url).map(t => (p.url, t))
+    }.toDF("src_url", "dst_url").localCheckpoint(true)
+    val urls = pages.select(col("url"))
+      .union(links.select(col("src_url").as("url")))
+      .union(links.select(col("dst_url").as("url")))
+      .distinct()
+    val dict = urls.as[String].rdd.zipWithUniqueId()
+      .toDF("url", "id").localCheckpoint(true)
+    val verts = pages.select(col("url"), col("lang"))
+      .join(dict, Seq("url"))
+      .select(col("id"), col("url"), col("lang")).as[Vertex]
+    val edges = links
+      .join(dict.select(col("url").as("src_url"), col("id").as("src")), Seq("src_url"))
+      .join(dict.select(col("url").as("dst_url"), col("id").as("dst")), Seq("dst_url"))
+      .select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .as[Edge]
+    (verts, edges)
+  }
+
+  /** Audit-then-route build: the 64-bit hash path while it is provably
+    * collision-free at this scale, the dense-dictionary path once it is
+    * not. Returns (vertices, edges, usedDensePath). */
+  def buildSafe(spark: SparkSession, pages: Dataset[Page],
+                idExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                  = xxhash64(_)): (Dataset[Vertex], Dataset[Edge], Boolean) = {
+    if (!idsCollide(pages, idExpr))
+      (verticesFromPages(spark, pages), edgesFromPages(spark, pages), false)
+    else {
+      val (v, e) = buildDense(spark, pages)
+      (v, e, true)
+    }
   }
 
   /** Degree table (reference GetDegree, graph.cpp:176-179 — here for the

@@ -180,6 +180,17 @@ object GraphMatcher {
   def materializedRelation(edges: DataFrame, vertices: DataFrame): DataFrame =
     relation(edges, vertices).localCheckpoint(true)
 
+  /** Join-order selection with the tiny-query fast path: for ≤ 2 query
+    * edges every connected left-deep order is the same join, so the HLL
+    * statistics pass would cost more than the query it steers (round-3
+    * bench: q_match_path3 2.7× regression) — use a fixed deterministic
+    * order with ZERO statistics jobs; larger queries pay one aggregate scan
+    * for the cost-weighted order (X4). */
+  def chooseOrder(query: QueryGraph, rel: DataFrame): Seq[QEdge] =
+    if (query.edges.size <= 2)
+      matchingOrder(query, query.edges.map(_ -> 0L).toMap)
+    else matchingOrderByCost(query, edgeStatistics(query, rel))
+
   /** Enumerate all matches: one column per query vertex (named), one row per
     * embedding. Isomorphic (injective) by default. */
   def findMatches(spark: SparkSession, query: QueryGraph,
@@ -189,7 +200,7 @@ object GraphMatcher {
                   candidates: Option[Map[String, DataFrame]] = None,
                   preRel: Option[DataFrame] = None): DataFrame = {
     val rel = preRel.getOrElse(materializedRelation(edges, vertices))
-    val order = matchingOrderByCost(query, edgeStatistics(query, rel))
+    val order = chooseOrder(query, rel)
     val out = plan(query, rel, order, homomorphic, carryFlag = false, candidates)
     maxResults.map(out.limit).getOrElse(out)
   }
@@ -263,7 +274,7 @@ object GraphMatcher {
                        edges: DataFrame, vertices: DataFrame): DataFrame = {
     val (pairs, nAut) = symmetryBreaking(query)
     val rel = materializedRelation(edges, vertices)
-    val order = matchingOrderByCost(query, edgeStatistics(query, rel))
+    val order = chooseOrder(query, rel)
     val canonical = plan(query, rel, order, homomorphic = false,
       carryFlag = false, None, ltConstraints = pairs)
     canonical.agg((count(lit(1)) * nAut).as("matches"))
@@ -321,7 +332,7 @@ object GraphMatcher {
     // core vertex's label-filtered candidates
     val core: DataFrame =
       if (coreEdges.nonEmpty)
-        plan(coreQ, rel, matchingOrderByCost(coreQ, edgeStatistics(coreQ, rel)),
+        plan(coreQ, rel, chooseOrder(coreQ, rel),
           homomorphic, carryFlag = false, None)
       else {
         val c = coreNames.head
@@ -390,10 +401,60 @@ object GraphMatcher {
         Seq("src", "dst"), "left_outer")
       .withColumn("isNew", coalesce(col("isNew"), lit(false)))
       .localCheckpoint(true)
-    val order = matchingOrderByCost(query, edgeStatistics(query, rel))
+    val order = chooseOrder(query, rel)
     val matches = plan(query, rel, order, homomorphic, carryFlag = true, None)
     val anyNew = (0 until query.edges.size).map(i => col(s"_f$i")).reduce(_ || _)
     matches.where(anyNew).agg(count(lit(1)).as("delta_matches"))
+  }
+
+  /** Batched continuous maintenance — J3/J4 for MANY queries in ONE Spark
+    * action (the reference amortizes per-update work across its query set
+    * the same way, newSP.h:12-100; round 3 ran up to two driver-blocking
+    * jobs per affected query per micro-batch). `flaggedEdges` carry
+    * isAdd/isDel; the flagged symmetric relation is built ONCE, every
+    * requested (query, side) count plan is unioned, and one collect returns
+    * them all. `orders` supplies each query's precomputed matching order
+    * (compute it at registration — per-batch statistics jobs would defeat
+    * the batching). Returns name -> (posCount, negCount). */
+  def countDeltaMatchesAll(spark: SparkSession,
+                           work: Seq[(String, QueryGraph, Boolean, Boolean)],
+                           orders: Map[String, Seq[QEdge]],
+                           flaggedEdges: DataFrame,
+                           vertices: DataFrame,
+                           homomorphic: Boolean = false): Map[String, (Long, Long)] = {
+    val todo = work.filter(w => w._3 || w._4)
+    if (todo.isEmpty) return Map.empty
+    // relation() with the add/del flags carried through the symmetrization
+    val und = flaggedEdges
+      .select(col("src"), col("dst"), col("elabel"), col("isAdd"), col("isDel"))
+      .union(flaggedEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("elabel"), col("isAdd"), col("isDel")))
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+    val vl = vertices.select(col("id"), col("vlabel"))
+    val relFlagged = und
+      .join(vl.withColumnRenamed("id", "src").withColumnRenamed("vlabel", "slabel"), Seq("src"))
+      .join(vl.withColumnRenamed("id", "dst").withColumnRenamed("vlabel", "dlabel"), Seq("dst"))
+      .select(col("src"), col("dst"), col("elabel"), col("slabel"), col("dlabel"),
+        col("isAdd"), col("isDel"))
+      .localCheckpoint(true)
+    val aggs = todo.flatMap { case (name, q, runAdds, runDels) =>
+      val order = orders(name)
+      def one(side: String, flag: String): DataFrame = {
+        val rel = relFlagged.withColumn("isNew", col(flag))
+        val matches = plan(q, rel, order, homomorphic, carryFlag = true, None)
+        val anyNew = (0 until q.edges.size).map(i => col(s"_f$i")).reduce(_ || _)
+        matches.where(anyNew).agg(count(lit(1)).as("c"))
+          .select(lit(name).as("q"), lit(side).as("side"), col("c"))
+      }
+      (if (runAdds) Seq(one("pos", "isAdd")) else Seq.empty) ++
+        (if (runDels) Seq(one("neg", "isDel")) else Seq.empty)
+    }
+    val rows = aggs.reduce(_ unionByName _).collect()
+    val bySide = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    todo.map { case (name, _, _, _) =>
+      name -> (bySide.getOrElse((name, "pos"), 0L), bySide.getOrElse((name, "neg"), 0L))
+    }.toMap
   }
 
   /** Pruning-funnel diagnostics (G3): partial-match cardinality after each

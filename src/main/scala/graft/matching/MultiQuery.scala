@@ -25,7 +25,10 @@ import graft.stream.Updates
   *                − |matches of A using a deleted edge|,
   *     where A = before ∪ added (adds applied first, deletes second — the
   *     same decomposition DeltaTriangles.maintain uses, generalized to any
-  *     query graph via GraphMatcher.countDeltaMatches).
+  *     query graph via GraphMatcher.countDeltaMatchesAll). EVERY affected
+  *     query's pos+neg counts run in ONE Spark action (the flagged relation
+  *     is built once and all count plans are unioned) — per-batch job count
+  *     is independent of the number of registered queries.
   *
   * Restriction (documented): re-labeling an EXISTING vertex changes match
   * sets with no edge delta; such batches trigger a full recompute of every
@@ -39,33 +42,62 @@ import graft.stream.Updates
   * batch (insert-side frontier propagation, delete-side shrink — X3), the
   * symmetric labeled relation is maintained by delta union/anti-join (never
   * rebuilt), and a label-routed query is still skipped when no delta edge
-  * lands inside adjacent candidate sets. Unaffected queries' indexes drift
-  * only toward SUPERSETS (new round-0 vertices are reconciled on their next
-  * refresh), which keeps pruning sound.
+  * lands inside adjacent candidate sets — checked for ALL affected queries
+  * in ONE job (tagged candidate union ⋈ the tiny delta; round 3 ran up to
+  * 2·|E(Q)| limit-1 jobs per query per batch). Unaffected queries' indexes
+  * drift only toward SUPERSETS (new round-0 vertices are reconciled on
+  * their next refresh), which keeps pruning sound.
+  *
+  * `materializeState = true` is the full J6: per-query SJ-Tree partial-match
+  * stage relations (SJTreeState) maintained by the exact two-term delta
+  * rule — non-seed join stages probe STORED state instead of re-deriving
+  * the prefix from E, and counts fall out of the maintained final stage.
   */
 final class MultiQueryDriver(spark: SparkSession,
                              val queries: Map[String, QueryGraph],
                              initialVertices: DataFrame, // (id, vlabel)
                              initialEdges: DataFrame,    // (src, dst, elabel)
                              useCandidateIndex: Boolean = false,
-                             indexRounds: Int = 2) {
+                             indexRounds: Int = 2,
+                             materializeState: Boolean = false,
+                             stateCompactEvery: Int = 8) {
+  require(!(useCandidateIndex && materializeState),
+    "pick one acceleration: candidate index (F3) or materialized state (J6)")
 
   var vertices: DataFrame = initialVertices.localCheckpoint(true)
   var edges: DataFrame = initialEdges.localCheckpoint(true)
 
-  /** Maintained symmetric labeled relation + per-query candidate indexes
-    * (only when useCandidateIndex). */
+  private val maintainRel = useCandidateIndex || materializeState
+
+  /** Maintained symmetric labeled relation (index/state modes). */
   private var rel: DataFrame =
-    if (useCandidateIndex) GraphMatcher.materializedRelation(edges, vertices) else null
+    if (maintainRel) GraphMatcher.materializedRelation(edges, vertices) else null
   private val indexes = scala.collection.mutable.Map.empty[String, CandidateIndex.Index]
   if (useCandidateIndex) queries.foreach { case (n, q) =>
     indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, vertices, indexRounds)
   }
   var indexSkips: Long = 0L // label-routed but candidate-refuted (query, batch) pairs
 
+  /** Per-query matching orders, fixed at registration (per-batch statistics
+    * jobs would defeat the one-action batching). */
+  private val orders: Map[String, Seq[QEdge]] = {
+    val r = if (maintainRel) rel else GraphMatcher.materializedRelation(edges, vertices)
+    queries.map { case (n, q) => n -> GraphMatcher.chooseOrder(q, r) }
+  }
+
+  /** J6 stage state per query (materializeState mode). */
+  private val states = scala.collection.mutable.Map.empty[String, SJTreeState]
+  if (materializeState) queries.foreach { case (n, q) =>
+    val st = new SJTreeState(spark, q, orders(n), compactEvery = stateCompactEvery)
+    st.init(rel)
+    states(n) = st
+  }
+
   /** Maintained per-query match counts (G2's counters). */
   val counts: scala.collection.mutable.Map[String, Long] =
-    scala.collection.mutable.Map(queries.map { case (n, q) =>
+    if (materializeState)
+      scala.collection.mutable.Map(states.map { case (n, st) => n -> st.matchCount }.toSeq: _*)
+    else scala.collection.mutable.Map(queries.map { case (n, q) =>
       n -> GraphMatcher.countMatches(spark, q, edges, vertices).head().getLong(0)
     }.toSeq: _*)
 
@@ -82,6 +114,43 @@ final class MultiQueryDriver(spark: SparkSession,
     labeled.join(broadcast(keys),
       least(labeled("src"), labeled("dst")) === keys("lo") &&
         greatest(labeled("src"), labeled("dst")) === keys("hi"), "left_semi")
+
+  /** ONE-job index-aware hit detection for ALL affected queries: every
+    * query's final candidate round is tagged (qname, qv) and unioned, the
+    * per-query-edge orientation specs are a tiny broadcast, and the labeled
+    * delta joins the union ONCE per side. Returns the (qname, side) pairs
+    * with at least one delta edge inside adjacent candidate sets. */
+  private def indexHitsAll(affected: Set[String],
+                           idxs: Map[String, CandidateIndex.Index],
+                           dAdd: DataFrame, dDel: DataFrame): Set[(String, String)] = {
+    import spark.implicits._
+    if (affected.isEmpty) return Set.empty
+    val specs = queries.toSeq.filter(kv => affected(kv._1)).flatMap { case (n, q) =>
+      q.edges.flatMap { e =>
+        Seq((n, e.u, e.v, e.elabel.getOrElse(-1)),
+          (n, e.v, e.u, e.elabel.getOrElse(-1)))
+      }
+    }.toDF("qname", "qu", "qvv", "qel")
+    val allCands = affected.toSeq.sorted.map { n =>
+      idxs(n).perRound.last.select(lit(n).as("qname"), col("qv"), col("id"))
+    }.reduce(_ unionByName _)
+    val delta = dAdd.select(col("src"), col("dst"), col("elabel"))
+      .withColumn("side", lit("a"))
+      .unionByName(dDel.select(col("src"), col("dst"), col("elabel"))
+        .withColumn("side", lit("d")))
+    // delta × specs is tiny (|Δ| · Σ|E(Q)|); the candidate union streams once
+    val probes = delta.join(broadcast(specs),
+      specs("qel") === lit(-1) || specs("qel") === delta("elabel")).as("p")
+    val cu = allCands.as("cu")
+    val cv = allCands.as("cv")
+    probes
+      .join(cu, col("p.qname") === col("cu.qname") &&
+        col("p.qu") === col("cu.qv") && col("p.src") === col("cu.id"))
+      .join(cv, col("p.qname") === col("cv.qname") &&
+        col("p.qvv") === col("cv.qv") && col("p.dst") === col("cv.id"))
+      .select(col("p.qname"), col("p.side")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
 
   /** Apply one micro-batch; returns (nAffectedQueries, addedCount, deletedCount). */
   def applyBatch(batch: Dataset[GraphUpdate]): (Int, Long, Long) = {
@@ -103,13 +172,15 @@ final class MultiQueryDriver(spark: SparkSession,
 
     if (relabeled) {
       fullRecomputes += 1
-      if (useCandidateIndex) {
-        rel = GraphMatcher.materializedRelation(e1c, v1c)
-        queries.foreach { case (n, q) =>
-          indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, v1c, indexRounds)
-        }
+      if (maintainRel) rel = GraphMatcher.materializedRelation(e1c, v1c)
+      if (useCandidateIndex) queries.foreach { case (n, q) =>
+        indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, v1c, indexRounds)
       }
-      queries.foreach { case (n, q) =>
+      if (materializeState) queries.foreach { case (n, _) =>
+        states(n).init(rel)
+        counts(n) = states(n).matchCount
+      }
+      else queries.foreach { case (n, q) =>
         counts(n) = GraphMatcher.countMatches(spark, q, e1c, v1c).head().getLong(0)
       }
       return (queries.size, -1L, -1L)
@@ -152,6 +223,52 @@ final class MultiQueryDriver(spark: SparkSession,
       .select(col("qname")).distinct()
       .collect().map(_.getString(0)).toSet
 
+    // maintain the symmetric relation by delta (union the added rows,
+    // anti-join the deleted keys — never rebuilt)
+    val (relAfterAdds, relFinal, addedRelRows) =
+      if (!maintainRel) (null: DataFrame, null: DataFrame, null: DataFrame)
+      else {
+        val addRows = GraphMatcher.relation(addedLabeled, vUnion).localCheckpoint(true)
+        val ra = rel.union(addRows).localCheckpoint(true)
+        val delK = deletedK
+        val rf = ra.join(broadcast(delK),
+            least(ra("src"), ra("dst")) === delK("lo") &&
+              greatest(ra("src"), ra("dst")) === delK("hi"), "left_anti")
+          .select(ra("src"), ra("dst"), ra("elabel"), ra("slabel"), ra("dlabel"))
+          .localCheckpoint(true)
+        (ra, rf, addRows)
+      }
+
+    if (materializeState) {
+      // J6: feed the delta through every affected query's stored stages;
+      // collect ALL pos/neg counts in one action
+      val deletedRelRows = relAfterAdds.join(broadcast(deletedK),
+          least(relAfterAdds("src"), relAfterAdds("dst")) === deletedK("lo") &&
+            greatest(relAfterAdds("src"), relAfterAdds("dst")) === deletedK("hi"),
+          "left_semi")
+        .localCheckpoint(true)
+      val aggs = queries.toSeq.sortBy(_._1).flatMap { case (name, _) =>
+        if (!affected(name)) { searchesSkipped += 1; Seq.empty }
+        else {
+          searchesRun += 1
+          val (p, n) = states(name).applyDelta(name, relAfterAdds,
+            addedRelRows, deletedRelRows)
+          Seq(p, n)
+        }
+      }
+      if (aggs.nonEmpty) {
+        val rows = aggs.reduce(_ unionByName _).collect()
+        val bySide = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        affected.foreach { name =>
+          states(name).commitCounts(bySide.getOrElse((name, "pos"), 0L),
+            bySide.getOrElse((name, "neg"), 0L))
+          counts(name) = states(name).matchCount
+        }
+      }
+      rel = relFinal
+      return (affected.size, nAdd, nDel)
+    }
+
     // delta graph A = e0 ∪ added, flagged with add/del membership; the
     // vertex table must keep deleted vertices' old labels (their edges are
     // still in A as negatives)
@@ -167,80 +284,57 @@ final class MultiQueryDriver(spark: SparkSession,
         coalesce(col("isDel"), lit(false)).as("isDel"))
       .localCheckpoint(true)
 
-    // F3 index machinery: maintain the relation by delta (union the added
-    // rows, anti-join the deleted keys — never rebuilt), refresh each
-    // affected query's index insert-side FIRST (SymBi applies
-    // InsertionTopDown before enumerating), consult it, shrink after.
-    val (relAfterAdds, relFinal) =
-      if (!useCandidateIndex) (null: DataFrame, null: DataFrame)
-      else {
-        val addRelRows = GraphMatcher.relation(addedLabeled, vUnion)
-        val ra = rel.union(addRelRows).localCheckpoint(true)
-        val delK = deletedK
-        val rf = ra.join(broadcast(delK),
-            least(ra("src"), ra("dst")) === delK("lo") &&
-              greatest(ra("src"), ra("dst")) === delK("hi"), "left_anti")
-          .select(ra("src"), ra("dst"), ra("elabel"), ra("slabel"), ra("dlabel"))
-          .localCheckpoint(true)
-        (ra, rf)
-      }
-
-    /** Does any delta edge land inside adjacent candidate sets of q? If not,
-      * no match of the delta graph A can map a query edge onto it (the index
-      * is a superset of true candidacy), so that side's delta join is dead. */
-    def indexHits(q: QueryGraph, idx: CandidateIndex.Index, d: DataFrame): Boolean = {
-      val cand = idx.perRound.last
-      q.edges.exists { e =>
-        val el = e.elabel.map(l => col("elabel") === l).getOrElse(lit(true))
-        val du = d.where(el)
-        Seq((e.u, e.v), (e.v, e.u)).exists { case (u, v) =>
-          du.join(cand.where(col("qv") === u).select(col("id").as("src")),
-              Seq("src"), "left_semi")
-            .join(cand.where(col("qv") === v).select(col("id").as("dst")),
-              Seq("dst"), "left_semi")
-            .limit(1).count() > 0
-        }
-      }
-    }
-
-    queries.foreach { case (name, q) =>
-      val idxAfterAdds =
-        if (!useCandidateIndex) null
-        else if (affected(name) && nAdd > 0) {
-          val (i2, _) = CandidateIndex.refreshAfterAdds(spark, q, relAfterAdds,
-            vUnion, indexes(name),
+    // F3 index machinery: refresh each affected query's index insert-side
+    // FIRST (SymBi applies InsertionTopDown before enumerating), consult it
+    // in ONE job, shrink after.
+    val idxAfterAdds: Map[String, CandidateIndex.Index] =
+      if (!useCandidateIndex) Map.empty
+      else queries.keys.toSeq.map { name =>
+        name -> (if (affected(name) && nAdd > 0) {
+          val (i2, _) = CandidateIndex.refreshAfterAdds(spark, queries(name),
+            relAfterAdds, vUnion, indexes(name),
             addedK.select(col("lo").as("src"), col("hi").as("dst")))
           i2
-        } else indexes(name)
+        } else indexes(name))
+      }.toMap
+    val hits: Set[(String, String)] =
+      if (!useCandidateIndex) Set.empty
+      else indexHitsAll(affected, idxAfterAdds, addedLabeled, deletedLabeled)
+
+    val work = queries.toSeq.sortBy(_._1).map { case (name, q) =>
       val (runAdds, runDels) =
         if (!affected(name)) (false, false)
         else if (!useCandidateIndex) (nAdd > 0, nDel > 0)
-        else (nAdd > 0 && indexHits(q, idxAfterAdds, addedLabeled),
-          nDel > 0 && indexHits(q, idxAfterAdds, deletedLabeled))
-      if (runAdds || runDels) {
-        searchesRun += 1
-        val pos =
-          if (!runAdds) 0L
-          else GraphMatcher.countDeltaMatches(spark, q,
-            aFlagged.withColumn("isNew", col("isAdd")), vUnion)
-            .head().getLong(0)
-        val neg =
-          if (!runDels) 0L
-          else GraphMatcher.countDeltaMatches(spark, q,
-            aFlagged.withColumn("isNew", col("isDel")), vUnion)
-            .head().getLong(0)
-        counts(name) = counts(name) + pos - neg
-      } else {
+        else (nAdd > 0 && hits((name, "a")), nDel > 0 && hits((name, "d")))
+      if (runAdds || runDels) searchesRun += 1
+      else {
         if (affected(name)) indexSkips += 1
         searchesSkipped += 1
       }
-      if (useCandidateIndex && affected(name))
-        indexes(name) = CandidateIndex.refreshAfterDeletes(spark, q, relFinal,
-          v1c, idxAfterAdds)
+      (name, q, runAdds, runDels)
     }
-    if (useCandidateIndex) rel = relFinal
+
+    // ONE action for every (query, side) delta count
+    val results = GraphMatcher.countDeltaMatchesAll(spark, work, orders,
+      aFlagged, vUnion)
+    results.foreach { case (name, (pos, neg)) =>
+      counts(name) = counts(name) + pos - neg
+    }
+
+    if (useCandidateIndex) {
+      queries.foreach { case (name, q) =>
+        if (affected(name))
+          indexes(name) = CandidateIndex.refreshAfterDeletes(spark, q, relFinal,
+            v1c, idxAfterAdds(name))
+        else indexes(name) = idxAfterAdds(name)
+      }
+      rel = relFinal
+    }
     (affected.size, nAdd, nDel)
   }
+
+  /** The maintained SJ-Tree state for a query (materializeState mode). */
+  def stateOf(name: String): Option[SJTreeState] = states.get(name)
 
   /** Fraction of (query, batch) pairs that skipped search — the reference's
     * headline safe-update statistic (~90% on its Amazon stream). */

@@ -1,0 +1,193 @@
+package graft.matching
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SJ-Tree materialized partial-match state — the full J6 (reference
+  * SJTree::AddSingleMatch / ExpandSJTreeNode,
+  * ParaCOSM/CSM/matching/SJTree/sj_tree.cpp:184-320: each join-tree node
+  * keeps its partial-match relation in hash state; an update inserts into
+  * the node, probes the sibling, and propagates upward).
+  *
+  * Tabular form: for a registered query with left-deep order e1..ek, stage
+  * relation S_i = partial matches of the prefix e1..e_i (one column per
+  * bound query vertex, injectivity predicates applied as in
+  * GraphMatcher.plan). The stages are MATERIALIZED and maintained per
+  * micro-batch by the exact two-term delta rule, never recomputed:
+  *
+  *   ΔS_1⁺ = seed(addedRel)
+  *   ΔS_i⁺ = step(ΔS_{i-1}⁺, relNew)  ∪  step(S_{i-1}^old, addedRel)
+  *     (disjoint: term 1 has a new prefix, term 2 an old prefix)
+  *   S_i^A = S_i^old ∪ ΔS_i⁺                       (adds applied first)
+  *   D_1   = seed(deletedRel)
+  *   D_i   = step(D_{i-1}, relA)  ∪  step(S_{i-1}^A ∖ D_{i-1}, deletedRel)
+  *   S_i'  = S_i^A ∖ D_i                           (then deletes)
+  *   count' = count + |ΔS_k⁺| − |D_k|
+  *
+  * Per-batch work shape: every delta-side join streams the big side ONCE
+  * with the tiny side broadcast — no shuffle ever touches the full relation
+  * or the stored stages; at warehouse scale the stage/relation scans prune
+  * further via bucketing on the probe keys. Stage updates are LAZY views
+  * (union ∪ broadcast-anti overlays) compacted every `compactEvery` batches
+  * so Catalyst plan depth stays bounded — the Spark rendering of the
+  * reference's in-place hash-state mutation.
+  *
+  * Memory note: like the reference's SJ-tree (its documented weakness —
+  * README.md's intermediate-result blowup discussion), stage relations can
+  * be large for low-selectivity prefixes; the order is chosen
+  * smallest-first (X4) and callers opt in per query.
+  */
+final class SJTreeState(spark: SparkSession, val query: QueryGraph,
+                        val order: Seq[QEdge],
+                        homomorphic: Boolean = false,
+                        compactEvery: Int = 8) {
+
+  /** Bound query-vertex columns after each stage (closing stages keep the
+    * previous set). */
+  val boundAt: Vector[Vector[String]] = {
+    var b = Vector(order.head.u, order.head.v)
+    Vector(b) ++ order.tail.map { e =>
+      if (!(b.contains(e.u) && b.contains(e.v)))
+        b = b :+ (if (b.contains(e.u)) e.v else e.u)
+      b
+    }.toVector
+  }
+
+  private var stages: Vector[DataFrame] = Vector.empty
+  private var batchesSinceCompact = 0
+
+  /** Maintained |S_k| (G1's counter). */
+  var matchCount: Long = -1L
+
+  /** Stage-filtered relation side for edge index i, oriented (known → src). */
+  private def relSideFor(i: Int, rel: DataFrame): DataFrame = {
+    val e = order(i)
+    val (u, v) =
+      if (i == 0) (e.u, e.v)
+      else {
+        val prev = boundAt(i - 1)
+        if (prev.contains(e.u) && prev.contains(e.v)) (e.u, e.v)
+        else if (prev.contains(e.u)) (e.u, e.v)
+        else (e.v, e.u)
+      }
+    val el = e.elabel.map(l => rel("elabel") === l).getOrElse(lit(true))
+    val sl = query.byName(u).vlabel.map(l => rel("slabel") === l).getOrElse(lit(true))
+    val dl = query.byName(v).vlabel.map(l => rel("dlabel") === l).getOrElse(lit(true))
+    rel.where(el && sl && dl)
+  }
+
+  /** Seed stage: matches of e1 drawn from `relSide` (symmetric relation —
+    * one orientation covers both, as in GraphMatcher.plan). */
+  private def seed(relSide: DataFrame): DataFrame = {
+    val e0 = order.head
+    relSideFor(0, relSide)
+      .select(col("src").as(e0.u), col("dst").as(e0.v))
+  }
+
+  /** One stage transition for an arbitrary left input: extension (inner
+    * join + injectivity) or closing (left-semi), mirroring
+    * GraphMatcher.plan's per-edge step. `tinyLeft`/`tinyRel` mark which side
+    * is delta-sized, to pin the broadcast. */
+  private def step(i: Int, left: DataFrame, rel: DataFrame,
+                   tinyLeft: Boolean): DataFrame = {
+    val e = order(i)
+    val prev = boundAt(i - 1)
+    val alias = s"j$i"
+    val r0 = relSideFor(i, rel).as(alias)
+    val r = if (tinyLeft) r0 else broadcast(r0)
+    val l = if (tinyLeft) broadcast(left) else left
+    if (prev.contains(e.u) && prev.contains(e.v)) {
+      l.join(r, l(e.u) === col(s"$alias.src") && l(e.v) === col(s"$alias.dst"),
+        "left_semi")
+    } else {
+      val (known, newV) = if (prev.contains(e.u)) (e.u, e.v) else (e.v, e.u)
+      val joined = l.join(r, l(known) === col(s"$alias.src"))
+      val inj =
+        if (homomorphic) joined
+        else joined.where(prev.filter(_ != known)
+          .map(b => col(s"$alias.dst") =!= l(b))
+          .foldLeft(col(s"$alias.dst") =!= l(known))(_ && _))
+      inj.select(prev.map(l(_)) :+ col(s"$alias.dst").as(newV): _*)
+    }
+  }
+
+  private def cols(df: DataFrame, i: Int): DataFrame =
+    df.select(boundAt(i).map(col): _*)
+
+  /** Build all stages from scratch over the materialized relation (query
+    * registration, or the relabel-hazard fallback). */
+  def init(rel: DataFrame): Unit = {
+    var s = seed(rel).localCheckpoint(true)
+    val built = Vector.newBuilder[DataFrame]
+    built += s
+    (1 until order.size).foreach { i =>
+      s = cols(step(i, s, rel, tinyLeft = false), i).localCheckpoint(true)
+      built += s
+    }
+    stages = built.result()
+    matchCount = stages.last.count()
+    batchesSinceCompact = 0
+  }
+
+  /** Apply one micro-batch's delta. `relNew` = the maintained symmetric
+    * relation AFTER adds (A = old ∪ added); `addedRel` / `deletedRel` =
+    * its delta-sized slices for added / deleted edges (both orientations).
+    * Returns (posAgg, negAgg) as LAZY one-row (q, side, c) aggregates so
+    * the driver can union them across queries into ONE action; the caller
+    * MUST then feed the collected counts back through commitCounts(). */
+  def applyDelta(name: String, relNew: DataFrame, addedRel: DataFrame,
+                 deletedRel: DataFrame): (DataFrame, DataFrame) = {
+    require(stages.nonEmpty, "init() first")
+    val k = order.size
+
+    // All per-batch derivations stay LAZY VIEWS — zero driver actions here
+    // (a per-stage localCheckpoint, even a lazy one, posts a Dataset action
+    // per stage per query and would make per-batch driver work scale with
+    // the query count). Plan depth is bounded by the compaction cadence,
+    // and the views hang off driver-checkpointed delta inputs.
+    // positive pass (prefix-new ∪ prefix-old-edge-new, disjoint)
+    var dPrev = seed(addedRel)
+    var sA = Vector(cols(stages(0), 0).unionByName(dPrev))
+    var posD = Vector(dPrev)
+    (1 until k).foreach { i =>
+      val t1 = cols(step(i, dPrev, relNew, tinyLeft = true), i)
+      val t2 = cols(step(i, stages(i - 1), addedRel, tinyLeft = false), i)
+      dPrev = t1.unionByName(t2)
+      posD = posD :+ dPrev
+      sA = sA :+ cols(stages(i), i).unionByName(dPrev)
+    }
+
+    // negative pass over A (prefix-deleted ∪ clean-prefix-edge-deleted)
+    var nPrev = seed(deletedRel)
+    var negD = Vector(nPrev)
+    (1 until k).foreach { i =>
+      val t1 = cols(step(i, nPrev, relNew, tinyLeft = true), i)
+      val clean = sA(i - 1).join(broadcast(negD(i - 1)),
+        boundAt(i - 1), "left_anti")
+      val t2 = cols(step(i, clean, deletedRel, tinyLeft = false), i)
+      nPrev = t1.unionByName(t2)
+      negD = negD :+ nPrev
+    }
+
+    // new stages = (old ∪ Δ⁺) ∖ D as lazy overlay views, compacted on cadence
+    stages = (0 until k).map { i =>
+      sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
+    }.toVector
+    batchesSinceCompact += 1
+    if (batchesSinceCompact >= compactEvery) {
+      stages = stages.map(_.localCheckpoint(true))
+      batchesSinceCompact = 0
+    }
+
+    (posD.last.agg(count(lit(1)).as("c"))
+       .select(lit(name).as("q"), lit("pos").as("side"), col("c")),
+     negD.last.agg(count(lit(1)).as("c"))
+       .select(lit(name).as("q"), lit("neg").as("side"), col("c")))
+  }
+
+  def commitCounts(pos: Long, neg: Long): Unit =
+    matchCount = matchCount + pos - neg
+
+  /** The maintained final-stage match relation (for tests / sinks). */
+  def matches: DataFrame = stages.last
+}

@@ -97,6 +97,23 @@ object Dedup {
       keyCols, "left_semi")
   }
 
+  /** capBuckets with MANDATORY accounting — "no silent caps" (round-3
+    * advice: the default cap silently changed public-API results while the
+    * DuckDB oracles don't model it): one aggregate over the (materialized)
+    * bucket table, a loud stderr line whenever anything was dropped, and
+    * the (kept, dropped) counts surfaced to the caller. A dropped>0 at
+    * oracle scale will fail the oracle hash compare — the log line is the
+    * explanation the operator reads next to the red row. */
+  def capBucketsLogged(buckets: DataFrame, keyCols: Seq[String], cap: Long,
+                       tag: String): DataFrame = {
+    val (kept, dropped) = bucketCapStats(buckets, keyCols, cap)
+    if (dropped > 0)
+      System.err.println(s"[dedup-cap] $tag: cap=$cap DROPPED $dropped of " +
+        s"${kept + dropped} buckets (recall loss confined to pairs colliding " +
+        "only in over-full buckets; uncapped oracles will diverge)")
+    capBuckets(buckets, keyCols, cap)
+  }
+
   /** Diagnostic twin of capBuckets: (kept buckets, dropped buckets) counts —
     * "no silent caps": callers log what was dropped. One aggregate job. */
   def bucketCapStats(buckets: DataFrame, keyCols: Seq[String], cap: Long): (Long, Long) = {
@@ -151,7 +168,7 @@ object Dedup {
     val raw = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       .localCheckpoint(true)
-    val buckets = capBuckets(raw, Seq("band", "bh"), maxBucketSize)
+    val buckets = capBucketsLogged(raw, Seq("band", "bh"), maxBucketSize, "minhash-lsh bands")
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -222,7 +239,7 @@ object Dedup {
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
-    val chunks = capBuckets(raw, Seq("c", "v"), maxBucketSize)
+    val chunks = capBucketsLogged(raw, Seq("c", "v"), maxBucketSize, "simhash chunks")
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -89,10 +89,10 @@ object Similarity {
     // otherwise fan every query colliding with it across the whole corpus.
     // The sketch computation (nTables x nBits dot products per vector) is
     // materialized once so the cap scan doesn't re-evaluate it.
-    val cb = Dedup.capBuckets(
+    val cb = Dedup.capBucketsLogged(
       buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
         .localCheckpoint(true),
-      Seq("tbl", "bkt"), maxBucketSize)
+      Seq("tbl", "bkt"), maxBucketSize, "sign-lsh topk corpus")
     val cands = qb.join(cb, Seq("tbl", "bkt"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
@@ -104,27 +104,98 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rk"))
   }
 
+  /** Spherical k-means coarse quantizer, trained DRIVER-SIDE on a
+    * deterministic sample (the `sampleSize` lowest ids — reproducible across
+    * runs, parallelism levels, and engines). Lloyd iterations in double with
+    * lowest-index tie-breaking; empty clusters keep their previous centroid.
+    * The returned centroids are plain doubles meant to be inlined as LITERALS
+    * into both the Spark plan and the DuckDB oracle SQL (the same contract as
+    * `hyperplanes`): both engines then consume bit-identical values, so the
+    * trained quantizer stays fully oracle-gated. Driver-side training is the
+    * right scale call: the sample is tiny and fixed (training cost is O(S·K·d·T),
+    * independent of corpus size); only assignment runs distributed. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, sampleSize: Int = 512,
+                     iters: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "trainCentroids: empty corpus")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = sample.map(unit)
+    val k = math.min(nCentroids, pts.length)
+    val dim = pts.head.length
+    var cents = Array.tabulate(k)(i => pts((i.toLong * pts.length / k).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c } // strict > : min-index tie-break
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnt(best) += 1
+      }
+      cents = Array.tabulate(k)(c => if (cnt(c) == 0) cents(c) else unit(sums(c)))
+    }
+    cents
+  }
+
   /** IVF-flat approximate top-k — the inverted-file ANN scale path: a small
-    * COARSE QUANTIZER (here: the nCentroids lowest-id vectors, deterministic
-    * and oracle-computable; a k-means refinement drops in without changing
-    * the plan shape) partitions the corpus into buckets by
-    * nearest-centroid assignment (one broadcast pass, |corpus| × K rows);
-    * each query probes its `nProbe` nearest centroids and pays exact cosine
-    * only inside those buckets. Complements sign-sketch LSH: IVF buckets
-    * adapt to the data distribution, LSH buckets are data-independent. */
+    * COARSE QUANTIZER partitions the corpus into buckets by nearest-centroid
+    * assignment (one broadcast pass); each query probes its `nProbe` nearest
+    * centroids and pays exact cosine only inside those buckets. Complements
+    * sign-sketch LSH: IVF buckets adapt to the data distribution, LSH buckets
+    * are data-independent.
+    *
+    * `centroids = Some(...)` (from `trainCentroids`) inlines trained centroid
+    * vectors as literals (cid = array index); `None` falls back to the
+    * deterministic placeholder quantizer (the nCentroids lowest-id corpus
+    * vectors). Assignment is a WINDOW-FREE algebraic argmax:
+    * `max(struct(ccos, -cid))` per vector for n = 1 (map-side combined, no
+    * sort), and a bounded `slice(sort_array(collect_list(...)))` top-n for
+    * probes (buffer ≤ K centroids per group — never a shuffle-wide sort; the
+    * round-3 window form shuffled and sorted K × |corpus| rows). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(col("cid")).limit(nCentroids))
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cent = centroids match {
+      case Some(cs) =>
+        val rows = cs.zipWithIndex.map { case (cvec, i) =>
+          struct(lit(i.toLong).as("cid"), array(cvec.map(lit): _*).as("cvec"))
+        }
+        broadcast(corpus.sparkSession.range(1)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.cid").as("cid"), col("r.cvec").as("cvec")))
+      case None =>
+        broadcast(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+          .orderBy(col("cid")).limit(nCentroids))
+    }
     def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      df.crossJoin(cent)
+      val scored = df.crossJoin(cent)
         .withColumn("ccos", round(cosine(col(vec), col("cvec")), 6))
-        .withColumn("crk", row_number().over(w))
-        .where(col("crk") <= n)
-        .select(col(id), col(vec), col("cid"))
+        .select(col(id), col(vec),
+          struct(col("ccos"), (-col("cid")).as("ncid"), col("cid")).as("sc"))
+      if (n == 1)
+        scored.groupBy(col(id), col(vec))
+          .agg(max(col("sc")).as("top1"))
+          .select(col(id), col(vec), col("top1.cid").as("cid"))
+      else
+        scored.groupBy(col(id), col(vec))
+          .agg(slice(sort_array(collect_list(col("sc")), asc = false), 1, n).as("top"))
+          .select(col(id), col(vec), explode(col("top")).as("sc"))
+          .select(col(id), col(vec), col("sc.cid").as("cid"))
     }
     val assigned = nearestCentroids(
       corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
@@ -169,7 +240,7 @@ object Similarity {
         explode(array(tableCols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .localCheckpoint(true)
-    val bk = Dedup.capBuckets(raw, Seq("tbl", "bkt"), maxBucketSize)
+    val bk = Dedup.capBucketsLogged(raw, Seq("tbl", "bkt"), maxBucketSize, "sign-lsh near-dup")
     bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.id") < col("y.id"))

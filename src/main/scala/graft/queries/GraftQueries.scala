@@ -32,6 +32,14 @@ object GraftQueries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Train every data-dependent oracle artifact for `dir` (currently: the
+    * IVF quantizer) so oracleSql emits literals consistent with what the
+    * queries used. Verify calls this before dumping oracle_sql.json;
+    * running q_ann_ivf itself also populates the same memoized model. */
+  def prepareOracles(spark: SparkSession, dir: String): Unit = {
+    IvfModel.centroids(spark, dir); ()
+  }
+
   // ------------------------------------------------------- graph derivation
 
   /** customer → supplier edges (directed, distinct). */
@@ -201,7 +209,7 @@ object GraftQueries {
       val e = procurementEdges(s, d)
       val blocks = graft.algo.CsrPageRank.build(s, e, edgeVertices(e))
       val (state, _, _) = graft.algo.CsrPageRank.runPacked(s, blocks, tol = 0.0, maxIter = 10)
-      graft.algo.CsrPageRank.toRows(s, state, blocks.verts)
+      graft.algo.CsrPageRank.toRows(s, state, blocks.vertsOrFail)
         .select(col("id"), round(col("rank"), 8).as("pr"))
         .orderBy("id")
     }),
@@ -292,12 +300,14 @@ object GraftQueries {
         .orderBy("qid", "rk")
     }),
     "q_ann_ivf" -> ((s, d) => {
-      // IVF-flat scale path: deterministic coarse quantizer (lowest-16 ids),
+      // IVF-flat scale path: k-means-trained coarse quantizer (driver-side
+      // spherical Lloyd on a deterministic sample, memoized per dir),
       // nearest-centroid buckets, 4-probe exact rescoring — the
-      // data-adaptive complement to sign-sketch LSH
+      // data-adaptive complement to sign-sketch LSH. The trained centroids
+      // are inlined as literals into both the plan and the oracle SQL.
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
-        nCentroids = 16, nProbe = 4)
+        nProbe = IvfModel.nProbe, centroids = Some(IvfModel.centroids(s, d)))
         .select(col("qid"), col("nid"), col("cos"), col("rk").cast("long").as("rk"))
         .orderBy("qid", "rk")
     }),
@@ -515,10 +525,46 @@ object GraftQueries {
       s"SELECT qid, nid, cos, rk FROM ranked WHERE rk <= $k ORDER BY qid, rk"
   }
 
-  /** q_ann_ivf oracle: same deterministic IVF — centroids = lowest
-    * nCentroids ids, assignment = argmax rounded cosine (tie: min cid),
-    * probes = top nProbe centroids per query, exact rescoring on candidate
-    * buckets only. */
+  /** q_ann_ivf oracle for the TRAINED quantizer: centroid vectors inlined as
+    * DuckDB list literals (the exact doubles Spark planned with — both
+    * engines parse the shortest-round-trip decimal to the identical IEEE
+    * double, the hyperplane-literal contract), assignment = argmax rounded
+    * cosine (tie: min cid), probes = top nProbe, exact rescoring on
+    * candidate buckets only. */
+  private def annIvfTrainedSql(k: Int, nProbe: Int,
+                               cents: Array[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"(CAST($i AS BIGINT), ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"WITH cent AS MATERIALIZED (SELECT cid, cvec FROM (VALUES $values) AS t(cid, cvec)), " +
+      "ev AS MATERIALIZED (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "norms AS MATERIALIZED (SELECT vec_id AS id, SQRT(list_dot_product(v, v)) AS nrm FROM ev), " +
+      "cnorm AS MATERIALIZED (SELECT cid, SQRT(list_dot_product(cvec, cvec)) AS cnrm FROM cent), " +
+      "cscore AS MATERIALIZED (SELECT ev.vec_id AS id, cent.cid, " +
+      "ROUND(list_dot_product(ev.v, cent.cvec) / (norms.nrm * cnorm.cnrm), 6) AS ccos " +
+      "FROM ev CROSS JOIN cent JOIN norms ON ev.vec_id = norms.id " +
+      "JOIN cnorm ON cent.cid = cnorm.cid), " +
+      "assigned AS (SELECT id AS nid, cid FROM (SELECT id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY id ORDER BY ccos DESC, cid ASC) AS crk FROM cscore) WHERE crk = 1), " +
+      "probes AS (SELECT id AS qid, cid FROM (SELECT id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY id ORDER BY ccos DESC, cid ASC) AS crk FROM cscore WHERE id < 5) " +
+      s"WHERE crk <= $nProbe), " +
+      "cand AS (SELECT DISTINCT qid, nid FROM probes JOIN assigned USING (cid) " +
+      "WHERE qid <> nid), " +
+      "dots AS (SELECT qid, nid, list_dot_product(q.v, n.v) AS dot FROM cand " +
+      "JOIN ev q ON q.vec_id = qid JOIN ev n ON n.vec_id = nid), " +
+      "scored AS (SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos FROM dots " +
+      "JOIN norms nq ON qid = nq.id JOIN norms nc ON nid = nc.id), " +
+      "ranked AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, nid ASC) AS rk FROM scored) " +
+      s"SELECT qid, nid, cos, rk FROM ranked WHERE rk <= $k ORDER BY qid, rk"
+  }
+
+  /** q_ann_ivf oracle (PLACEHOLDER quantizer fallback, matching
+    * ivfTopK(centroids = None)): centroids = lowest nCentroids ids,
+    * assignment = argmax rounded cosine (tie: min cid), probes = top nProbe
+    * centroids per query, exact rescoring on candidate buckets only. */
   private def annIvfSql(k: Int, nCentroids: Int, nProbe: Int): String =
     s"WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cvec " +
       s"FROM embeddings ORDER BY vec_id LIMIT $nCentroids), " +
@@ -690,7 +736,13 @@ object GraftQueries {
 
     "q_ann_lsh" -> annLshSql(k = 10, nBits = 6, nTables = 8, dim = 64, seed = 42L),
 
-    "q_ann_ivf" -> annIvfSql(k = 10, nCentroids = 16, nProbe = 4),
+    // trained-quantizer oracle when a model has been trained in this JVM
+    // (Verify calls prepareOracles before dumping; the query itself also
+    // trains); placeholder-quantizer SQL only if nothing was ever trained —
+    // in that case ivfTopK(centroids = None) is the matching query form.
+    "q_ann_ivf" -> IvfModel.trained
+      .map(cs => annIvfTrainedSql(k = 10, nProbe = IvfModel.nProbe, cents = cs))
+      .getOrElse(annIvfSql(k = 10, nCentroids = 16, nProbe = 4)),
 
     "q_embed_sim_lsh" -> embedLshSql(threshold = 0.35, nBits = 8, nTables = 6,
       dim = 64, seed = 42L),
@@ -785,4 +837,27 @@ object GraftQueries {
       "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM x " +
       "GROUP BY user_id ORDER BY user_id")
   )
+}
+
+/** Trained IVF coarse quantizer, memoized per data dir. Training is
+  * deterministic (seedless but sample- and order-fixed: lowest-id sample,
+  * stride init, min-index tie-breaks — Similarity.trainCentroids), so the
+  * query plan and the oracle SQL literals always agree for a given dir. */
+object IvfModel {
+  val nCentroids = 16
+  val nProbe = 4
+  val sampleSize = 512
+  val iters = 8
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  @volatile private var last: Option[Array[Array[Double]]] = None
+
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val c = cache.getOrElseUpdate(dir, Similarity.trainCentroids(
+      GraftQueries.table(spark, dir, "embeddings"), nCentroids, sampleSize, iters))
+    last = Some(c)
+    c
+  }
+
+  /** Most recently trained model — what oracleSql inlines as literals. */
+  def trained: Option[Array[Array[Double]]] = last
 }

@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.graph.GraphUpdate
@@ -37,14 +38,29 @@ final class StreamGraph(spark: SparkSession,
   @volatile var vertices: DataFrame = initialVertices.localCheckpoint(true)
   @volatile var edges: DataFrame = initialEdges.localCheckpoint(true)
 
+  /** Incrementally-maintained prepared PageRank inputs: a FIXED
+    * co-partitioned base adjacency plus a tiny signed patch, vertex state
+    * by delta arithmetic (PageRank.updatePrepared) — a warm-restart batch
+    * never re-shuffles the full edge table (round-3 rebuilt Prepared per
+    * micro-batch: an O(|E|) groupBy + two joins + checkpoints every batch).
+    * Rebuilt from scratch only when the patch outgrows its threshold. */
+  @volatile var prPrepared: graft.algo.PageRank.Prepared =
+    if (!maintainPageRank) null
+    else graft.algo.PageRank.prepare(spark, edges, vertices)
+  @volatile private var prBaseEdges: Long =
+    if (maintainPageRank) prPrepared.adj.count() else 0L
+  /** Patch-size threshold before a base rebuild (absolute + relative). */
+  private def patchLimit: Long = 1000L + prBaseEdges / 20L
+
   /** Maintained (id, rank) and the supersteps each refresh took — warm
     * starts converge in a handful of iterations on small deltas, the
     * measurable payoff of incremental maintenance vs recompute. */
   @volatile var prRanks: DataFrame =
     if (!maintainPageRank) null
-    else new graft.algo.PageRank(tol = prTol).run(spark, edges, vertices)
+    else new graft.algo.PageRank(tol = prTol).runOnPrepared(spark, prPrepared)
       .state.localCheckpoint(true)
   @volatile var prIterations: Seq[Int] = Seq.empty
+  @volatile var prRebuilds: Long = 0L
   @volatile var ccState: DataFrame =
     new graft.algo.ConnectedComponents(maxIter = 60)
       .run(spark, edges, vertices).state.localCheckpoint(true)
@@ -98,8 +114,32 @@ final class StreamGraph(spark: SparkSession,
             triangleCount += pos - neg
           }
           if (maintainPageRank) {
+            import spark.implicits._
+            // directed O(|Δ|) delta + tiny driver-side vertex membership diff
+            val (addD0, delD0) = Updates.edgeDeltaDirected(spark, e0, e1, batch)
+            val addD = addD0.localCheckpoint(true)
+            val delD = delD0.localCheckpoint(true)
+            val cand = batch.filter(u => u.op == "v" || u.op == "-v")
+              .select(col("id1")).distinct().as[Long].collect().toSeq
+            val (newIds, delIds) =
+              if (cand.isEmpty) (Seq.empty[Long], Seq.empty[Long])
+              else {
+                val inPrev = prPrepared.verts.where(col("id").isin(cand: _*))
+                  .select(col("id")).as[Long].collect().toSet
+                val inNew = v1.where(col("id").isin(cand: _*))
+                  .select(col("id")).as[Long].collect().toSet
+                ((inNew -- inPrev).toSeq, (inPrev -- inNew).toSeq)
+              }
+            prPrepared = graft.algo.PageRank.updatePrepared(
+              spark, prPrepared, addD, delD, newIds, delIds)
+            val patchRows = prPrepared.patch.map(_.count()).getOrElse(0L)
+            if (patchRows > patchLimit) {
+              prPrepared = graft.algo.PageRank.prepare(spark, e1, v1)
+              prBaseEdges = prPrepared.adj.count()
+              prRebuilds += 1
+            }
             val prRes = new graft.algo.PageRank(tol = prTol)
-              .runFrom(spark, e1, v1, prRanks)
+              .runFromPrepared(spark, prPrepared, prRanks)
             prRanks = prRes.state.localCheckpoint(true)
             prIterations = prIterations :+ prRes.iterations
           }

@@ -195,6 +195,52 @@ object Updates {
     (added, deleted)
   }
 
+  /** DIRECTED per-batch edge delta — same broadcast-only derivation and
+    * non-exclusive isA/isD classification as edgeDelta, but keys keep their
+    * (src, dst) orientation (the PageRank maintenance path needs directed
+    * deltas; canonicalizing would flip edges). */
+  def edgeDeltaDirected(spark: SparkSession, before: DataFrame, after: DataFrame,
+                        batch: Dataset[GraphUpdate]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val b = batch.toDF().localCheckpoint(true)
+    def keysOf(op: String): DataFrame =
+      b.where(col("op") === op)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+    val vDelIds = b.where(col("op") === "-v").select(col("id1")).distinct()
+      .as[Long].collect().toSeq
+
+    val keys = keysOf("e").withColumn("kA", lit(true)).withColumn("kD", lit(false))
+      .unionByName(keysOf("-e").withColumn("kA", lit(false)).withColumn("kD", lit(true)))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("kA")).as("kA"), max(col("kD")).as("kD"))
+      .localCheckpoint(true)
+
+    def hits(t: DataFrame): DataFrame = {
+      val s = t.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      val incident =
+        if (vDelIds.isEmpty) lit(false)
+        else col("src").isin(vDelIds: _*) || col("dst").isin(vDelIds: _*)
+      s.join(broadcast(keys), Seq("src", "dst"), "left_outer")
+        .withColumn("isA", coalesce(col("kA"), lit(false)))
+        .withColumn("isD", coalesce(col("kD"), lit(false)) || incident)
+        .where(col("isA") || col("isD"))
+        .select(col("src"), col("dst"), col("isA"), col("isD"))
+        .distinct()
+    }
+    val hb = hits(before)
+    val ha = hits(after)
+    val added = ha.where(col("isA")).select(col("src"), col("dst"))
+      .join(broadcast(hb.where(col("isA")).select(col("src"), col("dst"))),
+        Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val deleted = hb.where(col("isD")).select(col("src"), col("dst"))
+      .join(broadcast(ha.where(col("isD")).select(col("src"), col("dst"))),
+        Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    (added, deleted)
+  }
+
   /** applyBatch for LABELED graphs (the matching tier): vertices carry
     * vlabel, edges carry elabel. Same segmentation protocol as applyBatch;
     * vertex adds UPSERT the label (reference AddVertex, graph.cpp:23-49),

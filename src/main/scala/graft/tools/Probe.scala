@@ -85,7 +85,7 @@ object Probe {
         }
         t("toRows+collect") {
           println("[probe] rows=" + graft.algo.CsrPageRank
-            .toRows(spark, state, blocks.verts).count())
+            .toRows(spark, state, blocks.vertsOrFail).count())
         }
     }
     spark.stop()

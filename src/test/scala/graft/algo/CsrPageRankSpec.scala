@@ -39,12 +39,12 @@ class CsrPageRankSpec extends SparkSpec {
     val pages = spark.createDataset(PagesFixture.generate(4, 12))
     val (v, e) = GraphBuilder.buildVerified(spark, pages)
     val blocks = CsrPageRank.build(spark, e.toDF(), v.toDF())
-    val nVerts = blocks.verts.collect().map(_.ids.length).sum
+    val nVerts = blocks.vertsOrFail.collect().map(_.ids.length).sum
     assert(nVerts == v.count())
     val nEdges = blocks.graph.collect().map(_.edgeSrcIdx.length.toLong).sum
     assert(nEdges == e.count())
     // every block's ids sorted & unique (dense index contract)
-    blocks.verts.collect().foreach { vb =>
+    blocks.vertsOrFail.collect().foreach { vb =>
       assert(vb.ids.toSeq == vb.ids.toSeq.sorted.distinct)
     }
     // mass of init state = 1
@@ -92,9 +92,9 @@ class CsrPageRankSpec extends SparkSpec {
     val (rddState, itersRdd, m) = CsrPageRank.runPacked(spark, blocks, tol = 1e-8, maxIter = 300)
     assert(itersDs == itersRdd, s"loop iteration counts differ: $itersDs vs $itersRdd")
     assert(m.last.deltaLinf < 1e-8)
-    val a = CsrPageRank.toRows(spark, dsState, blocks.verts)
+    val a = CsrPageRank.toRows(spark, dsState, blocks.vertsOrFail)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = CsrPageRank.toRows(spark, rddState, blocks.verts)
+    val b = CsrPageRank.toRows(spark, rddState, blocks.vertsOrFail)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a.keySet == b.keySet)
     a.foreach { case (id, r) => assert(r == b(id), s"packed-loop rank($id) differs") }

@@ -58,12 +58,12 @@ class SkewSpec extends SparkSpec {
     assert(salted.hotIds.get.count() == 1)
 
     def iterate(g: PageRank.Prepared, iters: Int): Map[Long, Double] = {
-      var ranks = g.verts.select(col("id"), lit(1.0 / g.n).as("rank"), col("dangling"))
-        .localCheckpoint(true)
+      var ranks = g.verts.select(col("id"), lit(1.0 / g.n).as("rank"),
+        col("dangling"), col("outDeg")).localCheckpoint(true)
       var dm = PageRank.danglingMass(ranks)
       for (_ <- 1 to iters) {
         ranks = PageRank.superstep(g, ranks, dm, 0.85)
-          .select("id", "rank", "dangling").localCheckpoint(true)
+          .select("id", "rank", "dangling", "outDeg").localCheckpoint(true)
         dm = PageRank.danglingMass(ranks)
       }
       ranks.select("id", "rank").as[(Long, Double)].collect().toMap

@@ -31,6 +31,39 @@ class GraphBuilderSpec extends SparkSpec {
     GraphBuilder.collisionAudit(pages) // must not throw
   }
 
+  test("buildSafe routes a forced id collision to the dense path; per-url PageRank identical") {
+    import spark.implicits._
+    val pages = spark.createDataset(PagesFixture.generate(S, P)).cache()
+
+    // deliberately narrow id function: 90 urls into 16 buckets MUST collide
+    val narrow = (c: org.apache.spark.sql.Column) => pmod(xxhash64(c), lit(16L))
+    assert(GraphBuilder.idsCollide(pages, narrow))
+    assert(!GraphBuilder.idsCollide(pages)) // real hash is clean at this scale
+
+    val (vDense, eDense, usedDense) = GraphBuilder.buildSafe(spark, pages, narrow)
+    assert(usedDense, "collision must route to the dense-dictionary build")
+    val (vHash, eHash, usedDense2) = GraphBuilder.buildSafe(spark, pages)
+    assert(!usedDense2)
+
+    // ids are collision-free on the dense path
+    val row = vDense.agg(countDistinct(col("url")), countDistinct(col("id"))).head()
+    assert(row.getLong(0) == row.getLong(1))
+
+    // per-URL ranks agree between the two id assignments
+    def ranksByUrl(v: org.apache.spark.sql.Dataset[Vertex],
+                   e: org.apache.spark.sql.Dataset[Edge]): Map[String, Double] =
+      new graft.algo.PageRank(tol = 1e-9)
+        .run(spark, e.toDF(), v.toDF()).state
+        .join(v.toDF(), Seq("id"))
+        .select(col("url"), col("rank")).as[(String, Double)].collect().toMap
+    val a = ranksByUrl(vDense, eDense)
+    val b = ranksByUrl(vHash, eHash)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (url, r) =>
+      assert(math.abs(r - b(url)) < 1e-9, s"rank($url): $r vs ${b(url)}")
+    }
+  }
+
   test("degree table matches closed form") {
     import spark.implicits._
     val pages = spark.createDataset(PagesFixture.generate(S, P))

@@ -49,12 +49,13 @@ class RandomStreamSpec extends SparkSpec {
     val qs = Map(
       "tri" -> QueryGraph.triangle,
       "path" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(None, None)))
-    for (seed <- Seq(3, 8)) {
+    for (seed <- Seq(3, 8, 5)) {
       val rnd = new scala.util.Random(seed)
       var (verts, edges) = randomGraph(rnd, 12, 24)
       val driver = new MultiQueryDriver(spark, qs,
         verts.toSeq.toDF("id", "vlabel"), edges.toSeq.toDF("src", "dst", "elabel"),
-        useCandidateIndex = seed % 2 == 0) // alternate plain / index-aware
+        useCandidateIndex = seed == 8,   // plain (3) / index-aware (8) /
+        materializeState = seed == 5)    // materialized SJ-tree state (5)
       var nextId = 100L
       var seq = 0L
       (1 to 4).foreach { _ =>

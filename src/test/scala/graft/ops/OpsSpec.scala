@@ -142,6 +142,44 @@ class OpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF trained quantizer: recall strictly beats the placeholder at equal nProbe") {
+    import spark.implicits._
+    // 8 clusters in CONTIGUOUS id blocks with heavy per-vector noise: the
+    // placeholder quantizer (lowest-8 ids) picks 8 noisy copies of cluster
+    // 0's direction, so per-vector noise decides each assignment and every
+    // cluster scatters across buckets; k-means averages the noise away and
+    // recovers one coherent centroid per cluster. Intra-cluster cosine
+    // (~0.4) still dominates inter-cluster (~N(0, 1/64)), so exact top-k
+    // stays within-cluster.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i / 30)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 1.2).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = emb.where(col("vec_id") >= 200 && col("vec_id") < 208)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(cents: Option[Array[Array[Double]]]): Double = {
+      val got = Similarity.ivfTopK(emb, queries, k = 10, nCentroids = 8,
+        nProbe = 1, centroids = cents)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val trained = Similarity.trainCentroids(emb, nCentroids = 8,
+      sampleSize = 240, iters = 8)
+    val rTrained = recallOf(Some(trained))
+    val rPlaceholder = recallOf(None)
+    assert(rTrained > rPlaceholder,
+      s"trained recall $rTrained must beat placeholder $rPlaceholder")
+    assert(rTrained >= 0.95, s"trained recall $rTrained on separable clusters")
+    // training is deterministic: same inputs → identical centroids
+    val again = Similarity.trainCentroids(emb, nCentroids = 8,
+      sampleSize = 240, iters = 8)
+    assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("embedding cosine near-dup: planted duplicate vector found") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

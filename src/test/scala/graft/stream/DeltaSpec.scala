@@ -103,6 +103,81 @@ class DeltaSpec extends SparkSpec {
     assert(es == Set((2L, 3L, 9)))
   }
 
+  test("edgeDeltaDirected: orientation kept, cascade + dup-add mask covered") {
+    import spark.implicits._
+    val v0 = (0L until 12L).toDF("id")
+    val e0 = Seq((1L, 0L), (2L, 1L), (6L, 7L), (8L, 7L)).toDF("src", "dst")
+    val batch = Seq(
+      GraphUpdate(1, "e", 0L, 2L, 0),   // genuine directed add 0→2
+      GraphUpdate(2, "e", 2L, 1L, 0),   // re-add of existing 2→1: NO delta
+      GraphUpdate(3, "e", 6L, 7L, 0),   // dup add masked by next op's cascade
+      GraphUpdate(4, "-v", 7L, 0L, 0),  // cascades 6→7 and 8→7
+      GraphUpdate(5, "-e", 1L, 0L, 0)).toDS()
+    val (_, e1) = Updates.applyBatch(spark, v0, e0, batch)
+    val e1c = e1.localCheckpoint(true)
+    val (added, deleted) = Updates.edgeDeltaDirected(spark, e0, e1c, batch)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(added) == Set((0L, 2L)))
+    assert(pairs(deleted) == Set((6L, 7L), (8L, 7L), (1L, 0L)))
+  }
+
+  test("updatePrepared: warm restart == cold, base adj untouched, no extra exchange") {
+    import spark.implicits._
+    val n = 60L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val e0df = (ring ++ Seq((0L, 30L), (7L, 22L))).toDF("src", "dst")
+    val v0df = (0L until n).toDF("id")
+    val g0 = graft.algo.PageRank.prepare(spark, e0df, v0df)
+
+    // batch: 2 adds, 1 delete, 1 new vertex with an outgoing edge
+    val added = Seq((3L, 40L), (60L, 5L)).toDF("src", "dst")
+    val deleted = Seq((7L, 22L)).toDF("src", "dst")
+    val e1df = (ring ++ Seq((0L, 30L), (3L, 40L), (60L, 5L))).toDF("src", "dst")
+    val v1df = (0L until n).toDF("id").union(Seq(60L).toDF("id"))
+    val g1 = graft.algo.PageRank.updatePrepared(spark, g0, added, deleted,
+      newVertexIds = Seq(60L))
+    assert(g1.adj eq g0.adj, "base adjacency must be reused, not rebuilt")
+    assert(g1.patch.get.count() == 3)
+    assert(g1.n == 61.0)
+
+    // vertex state by arithmetic equals prepare-from-scratch
+    val gFresh = graft.algo.PageRank.prepare(spark, e1df, v1df)
+    def vset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(vset(g1.verts) == vset(gFresh.verts))
+
+    // warm restart over the patched Prepared converges to the cold ranks
+    val cold = new graft.algo.PageRank(tol = 1e-9).run(spark, e1df, v1df)
+    val prev = new graft.algo.PageRank(tol = 1e-9).run(spark, e0df, v0df).state
+    val warm = new graft.algo.PageRank(tol = 1e-9)
+      .runFromPrepared(spark, g1, prev)
+    val want = cold.state.select("id", "rank").as[(Long, Double)].collect().toMap
+    val got = warm.state.select("id", "rank").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-6, s"rank($id): ${got(id)} vs $r")
+    }
+    assert(warm.iterations < cold.iterations,
+      s"warm ${warm.iterations} should beat cold ${cold.iterations}")
+
+    // the patched superstep introduces NO additional SHUFFLE exchange over
+    // the static superstep (the single groupBy(dst) shuffle): the base
+    // never re-shuffles and the patch joins by broadcast (BroadcastExchange
+    // is expected and cheap — only shuffles are counted)
+    def shuffles(g: graft.algo.PageRank.Prepared): Int = {
+      val ranks = g.verts.select(col("id"), lit(1.0 / g.n).as("rank"),
+        col("dangling"), col("outDeg")).localCheckpoint(true)
+      val dm = graft.algo.PageRank.danglingMass(ranks)
+      val step = graft.algo.PageRank.superstep(g, ranks, dm, 0.85)
+      step.collect()
+      "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+        .findAllIn(step.queryExecution.executedPlan.toString).size
+    }
+    assert(shuffles(g1) <= shuffles(gFresh),
+      "patch overlay must not add shuffle exchanges over the static plan")
+  }
+
   test("streamed PageRank maintenance: warm restart equals cold recompute, fewer supersteps") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
