@@ -228,7 +228,10 @@ object Bench {
       if (skipStreaming) (0L, 0, 0.0, 0.0)
       else try {
         val r = graft.util.Limits.runWithTimeout(spark, "bench-streaming", 900000L) {
-          streamingBench(spark, sfDir, batches = 6, opsPerBatch = 2000)
+          // window-size variant (P7): throughput is batch-amortized — the
+          // per-batch fixed cost (driver actions + full-table state copies)
+          // divides over the window, the delta joins scale with |Δ|
+          streamingBench(spark, sfDir, batches = 4, opsPerBatch = 40000)
         }
         r.getOrElse((0L, 0, 0.0, 0.0))
       } catch { case e: Throwable =>

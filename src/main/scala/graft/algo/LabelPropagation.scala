@@ -30,12 +30,17 @@ final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
 
   override def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                    store: Option[StateStore] = None): AlgoResult = {
+    // repartition by src ONCE (dropDuplicates leaves (src,dst) partitioning,
+    // which does NOT satisfy the per-superstep join on src — the full
+    // undirected table would re-exchange every superstep, the same fixed
+    // cost PageRank.prepare eliminates for adj)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
-      .persist()
-    und.count()
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
 
     var state = vertices.select(col("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true).persist()
@@ -72,7 +77,9 @@ final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
   /** One synchronous LP superstep: (id, label, newLabel). Exposed for the
     * single-step DuckDB-oracle query. */
   def step(und: DataFrame, state: DataFrame): DataFrame = {
-    val nbrLabels = und.join(state, und("src") === state("id"))
+    // shuffle-hash: the state side fits per-partition hash maps; SMJ would
+    // re-sort the big und side every superstep
+    val nbrLabels = und.join(state.hint("shuffle_hash"), und("src") === state("id"))
       .select(und("dst").as("id"), col("label"))
     val counts = nbrLabels.groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
     // argmax by (n desc, label asc): max of struct(n, -label, label) —

@@ -105,6 +105,7 @@ final class MultiQueryDriver(spark: SparkSession,
   var searchesRun: Long = 0L      // (query, batch) pairs that paid a delta join
   var searchesSkipped: Long = 0L  // (query, batch) pairs skipped by routing
   var fullRecomputes: Long = 0L   // relabel hazard fallbacks
+  private var relBatchesSinceCompact = 0
 
   private def canonKeys(df: DataFrame): DataFrame = df.select(
     least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
@@ -224,20 +225,30 @@ final class MultiQueryDriver(spark: SparkSession,
       .collect().map(_.getString(0)).toSet
 
     // maintain the symmetric relation by delta (union the added rows,
-    // anti-join the deleted keys — never rebuilt)
+    // anti-join the deleted keys — never rebuilt). LAZY overlay views:
+    // eager per-batch checkpoints would rewrite the full 2|E|-row relation
+    // twice per micro-batch; the overlay chain is shuffle-free (checkpointed
+    // base + tiny unions + broadcast antis) and is compacted on a cadence.
     val (relAfterAdds, relFinal, addedRelRows) =
       if (!maintainRel) (null: DataFrame, null: DataFrame, null: DataFrame)
       else {
         val addRows = GraphMatcher.relation(addedLabeled, vUnion).localCheckpoint(true)
-        val ra = rel.union(addRows).localCheckpoint(true)
+        val ra = rel.union(addRows)
         val delK = deletedK
         val rf = ra.join(broadcast(delK),
             least(ra("src"), ra("dst")) === delK("lo") &&
               greatest(ra("src"), ra("dst")) === delK("hi"), "left_anti")
           .select(ra("src"), ra("dst"), ra("elabel"), ra("slabel"), ra("dlabel"))
-          .localCheckpoint(true)
         (ra, rf, addRows)
       }
+    def commitRel(): Unit = {
+      rel = relFinal
+      relBatchesSinceCompact += 1
+      if (relBatchesSinceCompact >= stateCompactEvery) {
+        rel = rel.localCheckpoint(true)
+        relBatchesSinceCompact = 0
+      }
+    }
 
     if (materializeState) {
       // J6: feed the delta through every affected query's stored stages;
@@ -265,7 +276,7 @@ final class MultiQueryDriver(spark: SparkSession,
           counts(name) = states(name).matchCount
         }
       }
-      rel = relFinal
+      commitRel()
       return (affected.size, nAdd, nDel)
     }
 
@@ -328,7 +339,7 @@ final class MultiQueryDriver(spark: SparkSession,
             v1c, idxAfterAdds(name))
         else indexes(name) = idxAfterAdds(name)
       }
-      rel = relFinal
+      commitRel()
     }
     (affected.size, nAdd, nDel)
   }
