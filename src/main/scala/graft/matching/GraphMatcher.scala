@@ -176,9 +176,29 @@ object GraphMatcher {
   }
 
   /** Materialized relation shared by stats, index build and the join plan
-    * (localCheckpoint: eager, lineage-truncated, GC-cleaned). */
-  def materializedRelation(edges: DataFrame, vertices: DataFrame): DataFrame =
-    relation(edges, vertices).localCheckpoint(true)
+    * (localCheckpoint: eager, lineage-truncated, GC-cleaned).
+    *
+    * `forQuery`: prune the materialization to rows matching SOME query edge
+    * in SOME orientation before checkpointing — for label-selective queries
+    * this shrinks the checkpoint and every downstream scan (stats, index
+    * rounds, every join stage) by the label selectivity. Sound for the join
+    * plan (each stage filters to one edgeCond, which implies the OR) and
+    * for the candidate index (pruneRound only consults rows whose elabel
+    * matches a query edge AND whose endpoints sit in label-filtered
+    * candidate sets). Unlabeled queries degenerate to lit(true) — no-op. */
+  def materializedRelation(edges: DataFrame, vertices: DataFrame,
+                           forQuery: Option[QueryGraph] = None): DataFrame = {
+    val r = relation(edges, vertices)
+    val pruned = forQuery match {
+      case Some(q) =>
+        val any = q.edges.flatMap(e =>
+          Seq(edgeCond(q, e, r), edgeCond(q, QEdge(e.v, e.u, e.elabel), r)))
+          .reduce(_ || _)
+        r.where(any)
+      case None => r
+    }
+    pruned.localCheckpoint(true)
+  }
 
   /** Join-order selection with the tiny-query fast path: for ≤ 2 query
     * edges every connected left-deep order is the same join, so the HLL
@@ -199,7 +219,7 @@ object GraphMatcher {
                   maxResults: Option[Int] = None,
                   candidates: Option[Map[String, DataFrame]] = None,
                   preRel: Option[DataFrame] = None): DataFrame = {
-    val rel = preRel.getOrElse(materializedRelation(edges, vertices))
+    val rel = preRel.getOrElse(materializedRelation(edges, vertices, Some(query)))
     val order = chooseOrder(query, rel)
     val out = plan(query, rel, order, homomorphic, carryFlag = false, candidates)
     maxResults.map(out.limit).getOrElse(out)
@@ -213,7 +233,7 @@ object GraphMatcher {
                          edges: DataFrame, vertices: DataFrame,
                          rounds: Int = 2,
                          homomorphic: Boolean = false): DataFrame = {
-    val rel = materializedRelation(edges, vertices)
+    val rel = materializedRelation(edges, vertices, Some(query))
     val idx = CandidateIndex.buildOnRel(spark, query, rel, vertices, rounds)
     findMatches(spark, query, edges, vertices, homomorphic,
       candidates = Some(idx.candidates), preRel = Some(rel))
@@ -273,7 +293,7 @@ object GraphMatcher {
   def countMatchesAuto(spark: SparkSession, query: QueryGraph,
                        edges: DataFrame, vertices: DataFrame): DataFrame = {
     val (pairs, nAut) = symmetryBreaking(query)
-    val rel = materializedRelation(edges, vertices)
+    val rel = materializedRelation(edges, vertices, Some(query))
     val order = chooseOrder(query, rel)
     val canonical = plan(query, rel, order, homomorphic = false,
       carryFlag = false, None, ltConstraints = pairs)
@@ -324,7 +344,7 @@ object GraphMatcher {
       if (!ok) return None
     }
 
-    val rel = materializedRelation(edges, vertices)
+    val rel = materializedRelation(edges, vertices, Some(query))
     val coreEdges = query.edges.filter(e => !shellSet(e.u) && !shellSet(e.v))
     val coreQ = QueryGraph(query.vertices.filter(v => coreNames.contains(v.name)), coreEdges)
 
@@ -466,7 +486,7 @@ object GraphMatcher {
                      edges: DataFrame, vertices: DataFrame,
                      homomorphic: Boolean = false,
                      orderOverride: Option[Seq[QEdge]] = None): Seq[(Int, String, String, Long)] = {
-    val rel = materializedRelation(edges, vertices)
+    val rel = materializedRelation(edges, vertices, Some(query))
     val order = orderOverride.getOrElse(
       matchingOrderByCost(query, edgeStatistics(query, rel)))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
