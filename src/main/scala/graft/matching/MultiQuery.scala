@@ -107,9 +107,6 @@ final class MultiQueryDriver(spark: SparkSession,
   var fullRecomputes: Long = 0L   // relabel hazard fallbacks
   private var relBatchesSinceCompact = 0
 
-  private def canonKeys(df: DataFrame): DataFrame = df.select(
-    least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
-
   /** Rows of `labeled` (src,dst,elabel) whose canonical key is in `keys`. */
   private def labeledSlice(labeled: DataFrame, keys: DataFrame): DataFrame =
     labeled.join(broadcast(keys),
