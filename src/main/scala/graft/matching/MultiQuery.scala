@@ -202,9 +202,22 @@ final class MultiQueryDriver(spark: SparkSession,
 
     // ROUTING: which queries listen to any delta edge's signature?
     // (vertex labels resolved against the union state: deleted endpoints
-    // keep old labels, new endpoints have new ones)
-    val vUnion = v1c.union(v0.join(v1c.select("id"), Seq("id"), "left_anti"))
-      .localCheckpoint(true)
+    // keep old labels, new endpoints have new ones). Ghost rows come from
+    // the batch's own tiny -v id set — a full v0-vs-v1 anti-join would
+    // shuffle both vertex tables every micro-batch for an answer bounded by
+    // the batch size.
+    val vDelIds = batch.toDF().where(col("op") === "-v")
+      .select(col("id1")).distinct().collect().map(_.getLong(0)).toSeq
+    val vUnion = (if (vDelIds.isEmpty) v1c
+      else {
+        val ghosts = v0.where(col("id").isin(vDelIds: _*))
+        // a -v followed by a same-batch re-add lives in v1c with its NEW
+        // label — drop its ghost row (tiny broadcast anti)
+        val ghostsOnly = ghosts.join(
+          broadcast(v1c.where(col("id").isin(vDelIds: _*)).select(col("id"))),
+          Seq("id"), "left_anti")
+        v1c.union(ghostsOnly)
+      }).localCheckpoint(true)
     val sigs = queries.toSeq.map { case (name, q) =>
       MatchClassifier.signatures(spark, q).withColumn("qname", lit(name))
     }.reduce(_ unionByName _)
