@@ -171,6 +171,20 @@ object GraftQueries {
       GraphMatcher.countMatchesShell(s, star, e, v)
         .getOrElse(sys.error("star query must be shell-countable"))
     }),
+    "q_match_tailtri" -> ((s, d) => {
+      // tailed triangle: label-1 triangle core with a label-2 pendant —
+      // exercises the MIXED kernel-and-shell path (enumerated core × one
+      // combinatorial shell group with a disjoint label, so no core-image
+      // exclusion fires); the oracle enumerates the same ordered embeddings
+      import graft.matching.{GraphMatcher, QueryGraph, QVertex, QEdge}
+      val (e, v) = labeledParts(s, d)
+      val q = QueryGraph(
+        Seq(QVertex("x", Some(1)), QVertex("y", Some(1)), QVertex("z", Some(1)),
+          QVertex("w", Some(2))),
+        Seq(QEdge("x", "y"), QEdge("y", "z"), QEdge("x", "z"), QEdge("x", "w")))
+      GraphMatcher.countMatchesShell(s, q, e, v)
+        .getOrElse(sys.error("tailed triangle must be shell-countable"))
+    }),
     // incremental (delta-join) triangle maintenance: J3/J4 positive/negative
     // counters; the oracle recomputes all three graph versions from scratch
     "q_tri_delta" -> ((s, d) => {
@@ -705,6 +719,17 @@ object GraftQueries {
       "SELECT count(*) AS matches FROM rr a " +
       "JOIN rr b ON b.src = a.src AND b.dst <> a.dst " +
       "JOIN rr c ON c.src = a.src AND c.dst <> a.dst AND c.dst <> b.dst"),
+
+    // ordered injective tailed-triangle count: label-1 triangle via the
+    // clique-style self-joins, label-2 pendant on x (w is label-disjoint
+    // from the core, so no extra <> predicates are needed)
+    "q_match_tailtri" -> (s"WITH $labeledRelCte, " +
+      "rr AS MATERIALIZED (SELECT src, dst FROM r WHERE sl = 1 AND dl = 1), " +
+      "rt AS MATERIALIZED (SELECT src, dst FROM r WHERE sl = 1 AND dl = 2) " +
+      "SELECT count(*) AS matches FROM rr a " +
+      "JOIN rr b ON b.src = a.dst AND b.dst <> a.src " +
+      "JOIN rr c ON c.src = a.src AND c.dst = b.dst " +
+      "JOIN rt t ON t.src = a.src"),
 
     // from-scratch counts of all three graph versions; the Spark side must
     // reproduce them through the delta joins alone
