@@ -171,6 +171,33 @@ object GraftQueries {
       GraphMatcher.countMatchesShell(s, star, e, v)
         .getOrElse(sys.error("star query must be shell-countable"))
     }),
+    "q_match_path3_sjt" -> ((s, d) => {
+      // q_match_path3 answered FROM the materialized SJ-tree stage state
+      // (J6): init builds the stored per-stage partial-match relations and
+      // the final stage IS the match relation — shares q_match_path3's
+      // oracle, so the stored-state machinery is result-gated end to end
+      // (the per-batch delta rule is stress-tested in sbt)
+      import graft.matching.{GraphMatcher, QueryGraph, SJTreeState}
+      val (e, v) = labeledParts(s, d)
+      val q = QueryGraph.path(
+        vlabels = Seq(Some(0), Some(1), Some(2)),
+        elabels = Seq(Some(1), Some(2)))
+      val rel = GraphMatcher.materializedRelation(e, v, Some(q))
+      val st = new SJTreeState(s, q, GraphMatcher.chooseOrder(q, rel))
+      st.init(rel)
+      st.matches.groupBy(col("u1")).agg(count(lit(1)).as("n")).orderBy("u1")
+    }),
+    "q_match_path3_delta" -> ((s, d) => {
+      // J3/J4 for an arbitrary (non-triangle) query: matches using at least
+      // one flagged edge; the oracle computes full-minus-unflagged counts
+      import graft.matching.{GraphMatcher, QueryGraph}
+      val (e, v) = labeledParts(s, d)
+      val q = QueryGraph.path(
+        vlabels = Seq(Some(0), Some(1), Some(2)),
+        elabels = Seq(Some(1), Some(2)))
+      val flagged = e.withColumn("isNew", (col("src") + col("dst")) % 10 === 0)
+      GraphMatcher.countDeltaMatches(s, q, flagged, v)
+    }),
     "q_match_tailtri" -> ((s, d) => {
       // tailed triangle: label-1 triangle core with a label-2 pendant —
       // exercises the MIXED kernel-and-shell path (enumerated core × one
@@ -719,6 +746,24 @@ object GraftQueries {
       "SELECT count(*) AS matches FROM rr a " +
       "JOIN rr b ON b.src = a.src AND b.dst <> a.dst " +
       "JOIN rr c ON c.src = a.src AND c.dst <> a.dst AND c.dst <> b.dst"),
+
+    // identical result contract from the stored SJ-tree final stage
+    "q_match_path3_sjt" -> (s"WITH $labeledRelCte, " +
+      "m AS (SELECT r1.src AS u1, r1.dst AS u2, r2.dst AS u3 " +
+      "FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +
+      "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src) " +
+      "SELECT u1, count(*) AS n FROM m GROUP BY u1 ORDER BY u1"),
+
+    // delta matches = full count minus unflagged-only count ((src+dst)%10=0
+    // is orientation-symmetric, so filtering r rows is exact)
+    "q_match_path3_delta" -> (s"WITH $labeledRelCte, " +
+      "m AS (SELECT r1.src + r1.dst AS k1, r2.src + r2.dst AS k2 " +
+      "FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +
+      "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src) " +
+      "SELECT count(*) AS delta_matches FROM m " +
+      "WHERE k1 % 10 = 0 OR k2 % 10 = 0"),
 
     // ordered injective tailed-triangle count: label-1 triangle via the
     // clique-style self-joins, label-2 pendant on x (w is label-disjoint
