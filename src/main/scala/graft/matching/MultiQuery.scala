@@ -106,6 +106,30 @@ final class MultiQueryDriver(spark: SparkSession,
   var searchesSkipped: Long = 0L  // (query, batch) pairs skipped by routing
   var fullRecomputes: Long = 0L   // relabel hazard fallbacks
   private var relBatchesSinceCompact = 0
+  private var graphBatchesSinceCompact = 0
+
+  /** Rolling persisted-RDD generations for the maintained state tables
+    * (vertices, edges, rel): each batch's state is the previous generation
+    * plus a LocalRelation-sized overlay, truncated to a persisted leaf (no
+    * tracked action, no full Catalyst checkpoint copy). Generation b feeds
+    * generation b+1's pipeline, so releasing all but the newest two is
+    * safe once a batch commits. The localCheckpoint compaction cadence
+    * stays as the lineage/debt bound. */
+  private final class StateRoller {
+    private val gens = scala.collection.mutable.Queue
+      .empty[Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]]
+    def roll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+      val wrapped = dfs.map(df => org.apache.spark.sql.GraftSqlShims.truncated(df))
+      gens.enqueue(wrapped.map(_._2))
+      while (gens.size > 2) gens.dequeue().foreach(_.unpersist(false))
+      wrapped.map(_._1)
+    }
+    def clear(): Unit = {
+      gens.foreach(_.foreach(_.unpersist(false))); gens.clear()
+    }
+  }
+  private val graphRoller = new StateRoller
+  private val relRoller = new StateRoller
 
   /** Rows of `labeled` (src,dst,elabel) whose canonical key is in `keys`. */
   private def labeledSlice(labeled: DataFrame, keys: DataFrame): DataFrame =
@@ -150,26 +174,62 @@ final class MultiQueryDriver(spark: SparkSession,
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
   }
 
-  /** Apply one micro-batch; returns (nAffectedQueries, addedCount, deletedCount). */
-  def applyBatch(batch: Dataset[GraphUpdate]): (Int, Long, Long) = {
+  /** Apply one micro-batch; returns (nAffectedQueries, addedCount, deletedCount).
+    * The batch is collected ONCE (it is |Δ|-sized by definition) and the whole
+    * per-batch protocol runs on the driver-local fast path — see
+    * applyBatchLocal. */
+  def applyBatch(batch: Dataset[GraphUpdate]): (Int, Long, Long) =
+    applyBatchLocal(batch.collect().toSeq)
+
+  /** The continuous tier's hot loop, driven by a driver-collected batch.
+    *
+    * Per-batch Spark actions are the scale story here (measured: each action
+    * pays a fixed scheduler + broadcast-build cost that dominated the old
+    * 20-action protocol), so everything |Δ|-bounded happens in plain Scala:
+    * segmentation/compaction, the relabel hazard check's candidate set,
+    * routing signatures, the vUnion ghost rows, and the relation delta rows.
+    * The remaining actions per batch:
+    *   1. the relabel probe over V          (only when the batch has v-ops)
+    *   2. the before/after candidate probe  (edgeDeltaCollected, one job)
+    *   3. the endpoint-label probe over V   (one job)
+    *   4. the per-query delta-count union   (one job, J6 state mode)
+    *   5. amortized: graph/rel/stage compaction every stateCompactEvery
+    * — independent of query count AND of graph size in job count; the two
+    * probes stream V/E once with LocalRelation broadcasts (no shuffle). */
+  def applyBatchLocal(ops: Seq[GraphUpdate]): (Int, Long, Long) = {
+    import spark.implicits._
     batchesSeen += 1
     val v0 = vertices
     val e0 = edges
-    val (v1, e1) = Updates.applyBatchLabeled(spark, v0, e0, batch)
-    val v1c = v1.localCheckpoint(true)
-    val e1c = e1.localCheckpoint(true)
+    val (v1, e1) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
 
-    // relabel hazard: an existing vertex whose label changed
-    val relabeled = batch.toDF().where(col("op") === "v")
-      .select(col("id1").as("id"), col("label").cast("int").as("newL"))
-      .join(v0.select(col("id"), col("vlabel")), Seq("id"))
-      .where(col("newL") =!= col("vlabel")).limit(1).count() > 0
+    // relabel hazard: an existing vertex whose label changed (driver-side
+    // candidates; one tiny semi-join probe of V only when v-ops exist)
+    val vOps = ops.filter(_.op == "v")
+    val relabeled = vOps.nonEmpty && {
+      val newL = vOps.groupBy(_.id1).map { case (id, us) => id -> us.maxBy(_.seq).label }
+      val oldL = v0.join(broadcast(newL.keys.toSeq.toDF("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("vlabel")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      oldL.exists { case (id, l) => newL(id) != l }
+    }
 
-    vertices = v1c
-    edges = e1c
+    val Seq(v1r, e1r) = graphRoller.roll(Seq(v1, e1))
+    vertices = v1r
+    edges = e1r
+    graphBatchesSinceCompact += 1
+    if (graphBatchesSinceCompact >= stateCompactEvery || relabeled) {
+      vertices = vertices.localCheckpoint(true)
+      edges = edges.localCheckpoint(true)
+      graphRoller.clear()
+      graphBatchesSinceCompact = 0
+    }
+    val v1c = vertices
+    val e1c = edges
 
     if (relabeled) {
       fullRecomputes += 1
+      relRoller.clear()
       if (maintainRel) rel = GraphMatcher.materializedRelation(e1c, v1c)
       if (useCandidateIndex) queries.foreach { case (n, q) =>
         indexes(n) = CandidateIndex.buildOnRel(spark, q, rel, v1c, indexRounds)
@@ -184,65 +244,92 @@ final class MultiQueryDriver(spark: SparkSession,
       return (queries.size, -1L, -1L)
     }
 
-    val (addedK0, deletedK0) = Updates.edgeDelta(spark, e0, e1c, batch)
-    val addedK = addedK0.select(col("src").as("lo"), col("dst").as("hi"))
-      .localCheckpoint(true)
-    val deletedK = deletedK0.select(col("src").as("lo"), col("dst").as("hi"))
-      .localCheckpoint(true)
-    val nAdd = addedK.count()
-    val nDel = deletedK.count()
+    // ONE action: before/after candidate probe → the exact canonical delta
+    // plus its labeled row slices, all collected (|Δ|-bounded)
+    val delta = Updates.edgeDeltaCollected(spark, e0, e1c, ops)
+    val nAdd = delta.added.size.toLong
+    val nDel = delta.deleted.size.toLong
     if (nAdd == 0 && nDel == 0) {
       searchesSkipped += queries.size
       return (0, 0L, 0L)
     }
+    val addedK = delta.added.toDF("lo", "hi")
+    val deletedK = delta.deleted.toDF("lo", "hi")
+    val addedLabeled = delta.addedRows.toDF("src", "dst", "elabel")
+    val deletedLabeled = delta.deletedRows.toDF("src", "dst", "elabel")
 
-    // labeled delta rows: added edges live in e1, deleted ones in e0
-    val addedLabeled = labeledSlice(e1c, addedK).localCheckpoint(true)
-    val deletedLabeled = labeledSlice(e0, deletedK).localCheckpoint(true)
+    // Endpoint labels, ONE probe action: v1 labels for every delta endpoint
+    // plus v0 ghost labels for the batch's -v ids (vUnion semantics: deleted
+    // endpoints keep old labels unless re-added in the same batch).
+    val vDelIds = ops.filter(_.op == "-v").map(_.id1).distinct
+    val endpointIds = (delta.addedRows ++ delta.deletedRows)
+      .flatMap(r => Seq(r._1, r._2)).distinct
+    val labelRows = {
+      val probeNew = v1c.join(broadcast(endpointIds.toDF("id")), Seq("id"), "left_semi")
+        .select(lit("n").as("w"), col("id"), col("vlabel"))
+      val probe = if (vDelIds.isEmpty) probeNew
+        else probeNew.unionByName(
+          v0.join(broadcast(vDelIds.toDF("id")), Seq("id"), "left_semi")
+            .select(lit("o").as("w"), col("id"), col("vlabel")))
+      probe.collect()
+    }
+    val newLabels = labelRows.filter(_.getString(0) == "n")
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val oldLabels = labelRows.filter(_.getString(0) == "o")
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    def labelOf(id: Long): Option[Int] = newLabels.get(id).orElse(oldLabels.get(id))
 
-    // ROUTING: which queries listen to any delta edge's signature?
-    // (vertex labels resolved against the union state: deleted endpoints
-    // keep old labels, new endpoints have new ones). Ghost rows come from
-    // the batch's own tiny -v id set — a full v0-vs-v1 anti-join would
-    // shuffle both vertex tables every micro-batch for an answer bounded by
-    // the batch size.
-    val vDelIds = batch.toDF().where(col("op") === "-v")
-      .select(col("id1")).distinct().collect().map(_.getLong(0)).toSeq
-    val vUnion = (if (vDelIds.isEmpty) v1c
-      else {
-        val ghosts = v0.where(col("id").isin(vDelIds: _*))
-        // a -v followed by a same-batch re-add lives in v1c with its NEW
-        // label — drop its ghost row (tiny broadcast anti)
-        val ghostsOnly = ghosts.join(
-          broadcast(v1c.where(col("id").isin(vDelIds: _*)).select(col("id"))),
-          Seq("id"), "left_anti")
-        v1c.union(ghostsOnly)
-      }).localCheckpoint(true)
-    val sigs = queries.toSeq.map { case (name, q) =>
-      MatchClassifier.signatures(spark, q).withColumn("qname", lit(name))
-    }.reduce(_ unionByName _)
-    val vl = vUnion.select(col("id"), col("vlabel"))
-    val deltaLabeled = addedLabeled.union(deletedLabeled)
-      .join(vl.withColumnRenamed("id", "src").withColumnRenamed("vlabel", "l1"), Seq("src"))
-      .join(vl.withColumnRenamed("id", "dst").withColumnRenamed("vlabel", "l2"), Seq("dst"))
-      .withColumn("lo", least(col("l1"), col("l2")))
-      .withColumn("hi", greatest(col("l1"), col("l2")))
-    val affected = deltaLabeled.join(broadcast(sigs),
-        (sigs("sl1") === lit(-1) || sigs("sl1") === col("lo")) &&
-          (sigs("sl2") === lit(-1) || sigs("sl2") === col("hi")) &&
-          (sigs("selabel") === lit(-1) || sigs("selabel") === col("elabel")))
-      .select(col("qname")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // vUnion as a LAZY view (ghost rows are driver-known)
+    val ghostRows = vDelIds.filterNot(newLabels.contains)
+      .flatMap(id => oldLabels.get(id).map(l => (id, l)))
+    val vUnion = if (ghostRows.isEmpty) v1c
+      else v1c.union(ghostRows.toDF("id", "vlabel"))
+
+    // ROUTING, driver-side: which queries listen to any delta edge's label
+    // signature? (exact mirror of the old broadcast-join: endpoints with
+    // unknown labels can match no labeled relation row and are dropped)
+    val sigsLocal: Map[String, Seq[(Int, Int, Int)]] = queries.map { case (n, q) =>
+      n -> q.edges.map { qe =>
+        val lu = q.byName(qe.u).vlabel.getOrElse(-1)
+        val lv = q.byName(qe.v).vlabel.getOrElse(-1)
+        val (a, b) = if (lu <= lv) (lu, lv) else (lv, lu)
+        (a, b, qe.elabel.getOrElse(-1))
+      }.distinct
+    }
+    val deltaSigs = (delta.addedRows ++ delta.deletedRows).flatMap { case (s, d, el) =>
+      for (l1 <- labelOf(s); l2 <- labelOf(d))
+        yield (math.min(l1, l2), math.max(l1, l2), el)
+    }.distinct
+    val affected = queries.keys.filter { n =>
+      sigsLocal(n).exists { case (s1, s2, sel) =>
+        deltaSigs.exists { case (lo, hi, el) =>
+          (s1 == -1 || s1 == lo) && (s2 == -1 || s2 == hi) && (sel == -1 || sel == el)
+        }
+      }
+    }.toSet
 
     // maintain the symmetric relation by delta (union the added rows,
-    // anti-join the deleted keys — never rebuilt). LAZY overlay views:
-    // eager per-batch checkpoints would rewrite the full 2|E|-row relation
-    // twice per micro-batch; the overlay chain is shuffle-free (checkpointed
-    // base + tiny unions + broadcast antis) and is compacted on a cadence.
+    // anti-join the deleted keys — never rebuilt). LAZY overlay views over
+    // the checkpointed base with LOCAL delta sides: the added relation rows
+    // are |Δ|-bounded and label-resolved on the driver (exact mirror of
+    // GraphMatcher.relation over the added slice: both orientations, inner
+    // label join, dedup on (src,dst)), so the overlay costs ZERO actions.
+    def relRowsLocal(rows: Seq[(Long, Long, Int)]): Seq[(Long, Long, Int, Int, Int)] = {
+      val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+      val out = Seq.newBuilder[(Long, Long, Int, Int, Int)]
+      rows.foreach { case (s, d, el) =>
+        for (ls <- labelOf(s); ld <- labelOf(d)) {
+          if (seen.add((s, d))) out += ((s, d, el, ls, ld))
+          if (seen.add((d, s))) out += ((d, s, el, ld, ls))
+        }
+      }
+      out.result()
+    }
     val (relAfterAdds, relFinal, addedRelRows) =
       if (!maintainRel) (null: DataFrame, null: DataFrame, null: DataFrame)
       else {
-        val addRows = GraphMatcher.relation(addedLabeled, vUnion).localCheckpoint(true)
+        val addRows = relRowsLocal(delta.addedRows)
+          .toDF("src", "dst", "elabel", "slabel", "dlabel")
         val ra = rel.union(addRows)
         val delK = deletedK
         val rf = ra.join(broadcast(delK),
@@ -252,22 +339,23 @@ final class MultiQueryDriver(spark: SparkSession,
         (ra, rf, addRows)
       }
     def commitRel(): Unit = {
-      rel = relFinal
+      rel = relRoller.roll(Seq(relFinal)).head
       relBatchesSinceCompact += 1
       if (relBatchesSinceCompact >= stateCompactEvery) {
         rel = rel.localCheckpoint(true)
+        relRoller.clear()
         relBatchesSinceCompact = 0
       }
     }
 
     if (materializeState) {
       // J6: feed the delta through every affected query's stored stages;
-      // collect ALL pos/neg counts in one action
-      val deletedRelRows = relAfterAdds.join(broadcast(deletedK),
-          least(relAfterAdds("src"), relAfterAdds("dst")) === deletedK("lo") &&
-            greatest(relAfterAdds("src"), relAfterAdds("dst")) === deletedK("hi"),
-          "left_semi")
-        .localCheckpoint(true)
+      // collect ALL pos/neg counts in one action. The deleted relation rows
+      // are driver-built (the maintained rel's label copies are immutable —
+      // relabels route to the rebuild path above — so current labels ARE
+      // the stored labels).
+      val deletedRelRows = relRowsLocal(delta.deletedRows)
+        .toDF("src", "dst", "elabel", "slabel", "dlabel")
       val aggs = queries.toSeq.sortBy(_._1).flatMap { case (name, _) =>
         if (!affected(name)) { searchesSkipped += 1; Seq.empty }
         else {
@@ -287,6 +375,10 @@ final class MultiQueryDriver(spark: SparkSession,
         }
       }
       commitRel()
+      // every query's seed stage re-anchors on the committed rel (content is
+      // unchanged for unaffected queries — routing guarantees it — but the
+      // anchor keeps seed lineage at the maintained base, not the overlay)
+      states.values.foreach(_.anchorSeed(rel))
       return (affected.size, nAdd, nDel)
     }
 

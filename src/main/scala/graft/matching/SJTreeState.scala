@@ -55,6 +55,25 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
 
   private var stages: Vector[DataFrame] = Vector.empty
   private var batchesSinceCompact = 0
+  private val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** Per-batch delta caches embedded in the current stage views. A batch's
+    * deltas materialize inside ITS count action and are last read when the
+    * NEXT batch's action materializes the stage RDDs that embed them —
+    * released one commit later (rolling generations, see commitCounts). */
+  private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val deltaGens =
+    scala.collection.mutable.Queue.empty[Seq[DataFrame]]
+  /** Persisted stage RDDs per batch. Batch b's stage RDDs are inputs of
+    * batch b+1's (persisted) stages, so generation b is releasable once
+    * generation b+1 has materialized — keep the latest two. */
+  private val rddGens = scala.collection.mutable.Queue
+    .empty[Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]]
+
+  private def releaseAll(): Unit = {
+    cached.foreach(_.unpersist(false)); cached.clear()
+    deltaGens.foreach(_.foreach(_.unpersist(false))); deltaGens.clear()
+    rddGens.foreach(_.foreach(_.unpersist(false))); rddGens.clear()
+  }
 
   /** Maintained |S_k| (G1's counter). */
   var matchCount: Long = -1L
@@ -117,7 +136,13 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
   /** Build all stages from scratch over the materialized relation (query
     * registration, or the relabel-hazard fallback). */
   def init(rel: DataFrame): Unit = {
-    var s = seed(rel).localCheckpoint(true)
+    releaseAll()
+    // Stage 0 is ONLY a label filter over the maintained relation — stored
+    // as a VIEW anchored on the caller's (checkpointed) rel, never copied:
+    // materializing it would re-write a relation-sized table at every
+    // compaction for state the relation already holds. Join stages (>= 1)
+    // are the genuinely materialized per-node state.
+    var s = seed(rel)
     val built = Vector.newBuilder[DataFrame]
     built += s
     (1 until order.size).foreach { i =>
@@ -128,6 +153,14 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     matchCount = stages.last.count()
     batchesSinceCompact = 0
   }
+
+  /** Re-anchor the seed-stage view on the CURRENT maintained relation (the
+    * driver calls this after committing/compacting rel each batch, for every
+    * registered query — routing guarantees an unaffected query's seed
+    * content is unchanged, and anchoring keeps its lineage at the compacted
+    * base instead of the pre-batch overlay). */
+  def anchorSeed(rel: DataFrame): Unit =
+    if (stages.nonEmpty) stages = seed(rel) +: stages.tail
 
   /** Apply one micro-batch's delta. `relNew` = the maintained symmetric
     * relation AFTER adds (A = old ∪ added); `addedRel` / `deletedRel` =
@@ -140,44 +173,68 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     require(stages.nonEmpty, "init() first")
     val k = order.size
 
-    // All per-batch derivations stay LAZY VIEWS — zero driver actions here
-    // (a per-stage localCheckpoint, even a lazy one, posts a Dataset action
+    // All per-batch derivations stay LAZY — zero driver actions here (a
+    // per-stage localCheckpoint, even a lazy one, posts a Dataset action
     // per stage per query and would make per-batch driver work scale with
-    // the query count). Plan depth is bounded by the compaction cadence,
-    // and the views hang off driver-checkpointed delta inputs.
+    // the query count). Every per-stage delta is PERSISTED (lazily — it
+    // materializes once, inside the caller's single count action) because
+    // the new stage views embed it and the NEXT batch's t2/clean terms
+    // re-reference the previous stage views in several subtrees: without
+    // the cache the unfolded plan tree grows multiplicatively per batch
+    // (measured: +3-4s per batch at sf0.1 until the compaction reset).
+    // With it, each stage is a shallow chain of cached-delta overlays whose
+    // depth the compaction cadence bounds.
     // positive pass (prefix-new ∪ prefix-old-edge-new, disjoint)
-    var dPrev = seed(addedRel)
+    var dPrev = seed(addedRel).persist(storage)
+    cached += dPrev
     var sA = Vector(cols(stages(0), 0).unionByName(dPrev))
     var posD = Vector(dPrev)
     (1 until k).foreach { i =>
       val t1 = cols(step(i, dPrev, relNew, tinyLeft = true), i)
       val t2 = cols(step(i, stages(i - 1), addedRel, tinyLeft = false), i)
-      dPrev = t1.unionByName(t2)
+      dPrev = t1.unionByName(t2).persist(storage)
+      cached += dPrev
       posD = posD :+ dPrev
       sA = sA :+ cols(stages(i), i).unionByName(dPrev)
     }
 
     // negative pass over A (prefix-deleted ∪ clean-prefix-edge-deleted)
-    var nPrev = seed(deletedRel)
+    var nPrev = seed(deletedRel).persist(storage)
+    cached += nPrev
     var negD = Vector(nPrev)
     (1 until k).foreach { i =>
       val t1 = cols(step(i, nPrev, relNew, tinyLeft = true), i)
       val clean = sA(i - 1).join(broadcast(negD(i - 1)),
         boundAt(i - 1), "left_anti")
       val t2 = cols(step(i, clean, deletedRel, tinyLeft = false), i)
-      nPrev = t1.unionByName(t2)
+      nPrev = t1.unionByName(t2).persist(storage)
+      cached += nPrev
       negD = negD :+ nPrev
     }
 
-    // new stages = (old ∪ Δ⁺) ∖ D as lazy overlay views, compacted on cadence
+    // New stages = (old ∪ Δ⁺) ∖ D. Each materialized stage (>= 1) is
+    // TRUNCATED to a LogicalRDD leaf (plan → RDD → fresh Dataset, no job,
+    // no copy): the overlay's logical tree references the previous stage
+    // and this batch's deltas in several subtrees, so left as a view the
+    // analyzed tree grows ~3× per batch (cache substitution happens only
+    // after analysis — measured super-linear driver cost within a
+    // compaction window). The wrap keeps analysis depth constant; the RDD
+    // pipeline re-runs at most `compactEvery` cached-delta overlays per
+    // scan until the eager checkpoint resets lineage.
+    val newRdds =
+      Seq.newBuilder[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
     stages = (0 until k).map { i =>
-      sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
+      val view = sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
+      if (i == 0) view
+      else {
+        val (leaf, r) = org.apache.spark.sql.GraftSqlShims.truncated(view, storage)
+        newRdds += r
+        leaf
+      }
     }.toVector
+    deltaGens.enqueue(cached.toSeq); cached.clear()
+    rddGens.enqueue(newRdds.result())
     batchesSinceCompact += 1
-    if (batchesSinceCompact >= compactEvery) {
-      stages = stages.map(_.localCheckpoint(true))
-      batchesSinceCompact = 0
-    }
 
     (posD.last.agg(count(lit(1)).as("c"))
        .select(lit(name).as("q"), lit("pos").as("side"), col("c")),
@@ -185,8 +242,26 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
        .select(lit(name).as("q"), lit("neg").as("side"), col("c")))
   }
 
-  def commitCounts(pos: Long, neg: Long): Unit =
+  /** Commit the collected delta counts, then (on cadence) compact the stage
+    * overlays. Compaction MUST run here — after the caller's count action —
+    * so the eager checkpoints read this batch's now-materialized delta
+    * caches instead of re-executing (and then dropping) their plans. */
+  def commitCounts(pos: Long, neg: Long): Unit = {
     matchCount = matchCount + pos - neg
+    if (batchesSinceCompact >= compactEvery) {
+      // stage 0 is excluded: anchorSeed re-derives it from the compacted rel
+      stages = stages.zipWithIndex.map { case (s, i) =>
+        if (i == 0) s else s.localCheckpoint(true)
+      }
+      releaseAll()
+      batchesSinceCompact = 0
+    } else {
+      // rolling release: keep the newest delta generation (feeding the
+      // just-built stage RDDs) and the newest two stage-RDD generations
+      while (deltaGens.size > 1) deltaGens.dequeue().foreach(_.unpersist(false))
+      while (rddGens.size > 2) rddGens.dequeue().foreach(_.unpersist(false))
+    }
+  }
 
   /** The maintained final-stage match relation (for tests / sinks). */
   def matches: DataFrame = stages.last

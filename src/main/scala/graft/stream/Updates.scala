@@ -360,4 +360,157 @@ object Updates {
     classified.unpersist()
     (v1c, e1c, result, nSafe, nUnsafe)
   }
+
+  // ---------------------------------------------------------------------
+  // DRIVER-LOCAL micro-batch fast path (the continuous tier's hot loop).
+  //
+  // A micro-batch is by definition tiny next to the graph, yet the
+  // DataFrame derivations above cost a fixed ~15-20 Spark actions per
+  // batch (each with scheduler + broadcast-build overhead) — measured to
+  // dominate per-batch latency at any realistic window size. These
+  // mirrors compute the SAME results with the batch collected once on the
+  // driver: compaction/segmentation/delta candidacy are plain Scala over
+  // |Δ| rows, the graph tables are touched only by (a) lazy overlay views
+  // whose delta sides are LocalRelations (broadcast builds run on the
+  // driver, zero jobs) and (b) ONE probe action for the before/after
+  // candidate scan. Equivalence with the DataFrame path is test-pinned
+  // (UpdatesLocalSpec).
+  // ---------------------------------------------------------------------
+
+  /** Driver-side mirror of `compact`: last op (max seq) per key. */
+  def compactLocal(ops: Seq[GraphUpdate]): Seq[GraphUpdate] =
+    ops.groupBy(u =>
+        if (u.op == "e" || u.op == "-e") ("e", u.id1, u.id2) else ("v", u.id1, 0L))
+      .valuesIterator.map(_.maxBy(_.seq)).toSeq.sortBy(_.seq)
+
+  /** Driver-side mirror of `applyBatchLabeled`'s segmentation: seq-ordered
+    * segments split at each `-v` (the -v closes its segment). */
+  def segmentsLocal(ops: Seq[GraphUpdate]): Seq[Seq[GraphUpdate]] = {
+    val sorted = ops.sortBy(_.seq)
+    val vDelSeqs = sorted.filter(_.op == "-v").map(_.seq)
+    if (vDelSeqs.isEmpty || vDelSeqs.length == sorted.length) Seq(sorted)
+    else {
+      val segs = Seq.newBuilder[Seq[GraphUpdate]]
+      var lo = Long.MinValue
+      (vDelSeqs.map(Some(_)) :+ None).foreach { hi =>
+        val seg = hi match {
+          case Some(s) => sorted.filter(u => u.seq > lo && u.seq <= s)
+          case None => sorted.filter(_.seq > lo)
+        }
+        if (seg.nonEmpty) segs += seg
+        hi.foreach(s => lo = s)
+      }
+      segs.result()
+    }
+  }
+
+  /** LAZY labeled batch application from a driver-collected batch — the
+    * exact `applyBatchLabeled` algebra (per-segment compaction, upsert
+    * vertex labels, keep-existing edge rows, cascade on -v) with ZERO
+    * Spark actions: every segment delta is a LocalRelation and the result
+    * stays a view over the input tables. The caller owns materialization
+    * cadence (compact with localCheckpoint every K batches). */
+  def applyBatchLabeledLocal(spark: SparkSession, vertices: DataFrame,
+                             edges: DataFrame, ops: Seq[GraphUpdate])
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var v = vertices.select(col("id"), col("vlabel"))
+    var e = edges.select(col("src"), col("dst"), col("elabel"))
+    segmentsLocal(ops).foreach { seg =>
+      val c = compactLocal(seg)
+      val vAdds = c.filter(_.op == "v").map(u => (u.id1, u.label))
+      val vDels = c.filter(_.op == "-v").map(_.id1)
+      val eAdds = c.filter(_.op == "e").map(u => (u.id1, u.id2, u.label))
+      val eDels = c.filter(_.op == "-e").map(u => (u.id1, u.id2))
+
+      if (vAdds.nonEmpty || vDels.nonEmpty) {
+        val vAddDf = vAdds.toDF("id", "vlabel")
+        val vDelDf = vDels.toDF("id")
+        var v1 = v
+        if (vAdds.nonEmpty)
+          v1 = v1.join(broadcast(vAddDf.select(col("id"))), Seq("id"), "left_anti")
+            .union(vAddDf)
+        if (vDels.nonEmpty)
+          v1 = v1.join(broadcast(vDelDf), Seq("id"), "left_anti")
+        v = v1
+      }
+      if (eAdds.nonEmpty || eDels.nonEmpty || vDels.nonEmpty) {
+        var e1 = e
+        if (eAdds.nonEmpty) {
+          val eAddDf = eAdds.toDF("src", "dst", "elabel")
+            .where(col("src") =!= col("dst"))
+          e1 = e1.union(
+            eAddDf.join(e.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti"))
+        }
+        if (eDels.nonEmpty)
+          e1 = e1.join(broadcast(eDels.toDF("src", "dst")), Seq("src", "dst"), "left_anti")
+        if (vDels.nonEmpty) {
+          val vDelDf = vDels.toDF("id")
+          e1 = e1
+            .join(broadcast(vDelDf.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+            .join(broadcast(vDelDf.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+        }
+        e = e1.select(col("src"), col("dst"), col("elabel"))
+      }
+    }
+    (v, e)
+  }
+
+  /** Collected per-batch canonical edge delta + the labeled row slices, in
+    * ONE Spark action. Same derivation as `edgeDelta` (candidate keys from
+    * the RAW ops, non-exclusive isA/isD, `-v` incidence) but the before and
+    * after tables are each scanned exactly once, in the same job, and the
+    * |Δ|-bounded hit rows come back to the driver:
+    *   added     = canon keys isA-hit in after and not in before
+    *   deleted   = canon keys isD-hit in before and not in after
+    *   addedRows = after rows (directed, labeled) whose key was added
+    *   deletedRows = before rows whose key was deleted.  */
+  final case class EdgeDeltaLocal(added: Seq[(Long, Long)], deleted: Seq[(Long, Long)],
+                                  addedRows: Seq[(Long, Long, Int)],
+                                  deletedRows: Seq[(Long, Long, Int)])
+
+  def edgeDeltaCollected(spark: SparkSession, before: DataFrame, after: DataFrame,
+                         ops: Seq[GraphUpdate]): EdgeDeltaLocal = {
+    import spark.implicits._
+    def canon(s: Long, d: Long): (Long, Long) = if (s < d) (s, d) else (d, s)
+    val eAddKeys = ops.filter(_.op == "e").map(u => canon(u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val eDelKeys = ops.filter(_.op == "-e").map(u => canon(u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val vDelIds = ops.filter(_.op == "-v").map(_.id1).toSet
+    if (eAddKeys.isEmpty && eDelKeys.isEmpty && vDelIds.isEmpty)
+      return EdgeDeltaLocal(Nil, Nil, Nil, Nil)
+
+    val keysDf = (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
+        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true)))
+      .toSeq.toDF("lo", "hi", "kA", "kD")
+    def probe(t: DataFrame, side: String): DataFrame = {
+      val s = t.select(col("src"), col("dst"), col("elabel"),
+          least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .where(col("lo") =!= col("hi"))
+      val incident =
+        if (vDelIds.isEmpty) lit(false)
+        else col("lo").isin(vDelIds.toSeq: _*) || col("hi").isin(vDelIds.toSeq: _*)
+      s.join(broadcast(keysDf), Seq("lo", "hi"), "left_outer")
+        .withColumn("isA", coalesce(col("kA"), lit(false)))
+        .withColumn("isD", coalesce(col("kD"), lit(false)) || incident)
+        .where(col("isA") || col("isD"))
+        .select(lit(side).as("side"), col("src"), col("dst"), col("elabel"),
+          col("lo"), col("hi"), col("isA"), col("isD"))
+    }
+    val rows = probe(before, "b").unionByName(probe(after, "f")).collect()
+    def keysOf(side: String, flag: String): Set[(Long, Long)] =
+      rows.iterator.filter(r => r.getString(0) == side &&
+        r.getBoolean(if (flag == "A") 6 else 7))
+        .map(r => (r.getLong(4), r.getLong(5))).toSet
+    val added = keysOf("f", "A") -- keysOf("b", "A")
+    val deleted = keysOf("b", "D") -- keysOf("f", "D")
+    def rowsOf(side: String, keys: Set[(Long, Long)]): Seq[(Long, Long, Int)] =
+      rows.iterator.filter(r => r.getString(0) == side &&
+        keys((r.getLong(4), r.getLong(5))))
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    EdgeDeltaLocal(added.toSeq, deleted.toSeq,
+      rowsOf("f", added), rowsOf("b", deleted))
+  }
 }

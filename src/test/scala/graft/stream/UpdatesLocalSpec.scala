@@ -1,0 +1,97 @@
+package graft.stream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.graph.GraphUpdate
+
+/** Equivalence of the driver-local micro-batch fast path with the
+  * DataFrame path it mirrors (compaction, labeled application with -v
+  * segmentation, canonical edge delta with cascade + dup-add cases) —
+  * randomized over many op mixes so the mirrors can't drift. */
+class UpdatesLocalSpec extends SparkSpec {
+
+  private def randomBatch(seed: Int, n: Int, ids: Int): Seq[GraphUpdate] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val a = rnd.nextInt(ids).toLong
+      val b = (rnd.nextInt(ids - 1) + 1 + a) % ids
+      rnd.nextInt(10) match {
+        case 0 => GraphUpdate(i.toLong, "v", a, 0L, rnd.nextInt(3))
+        case 1 => GraphUpdate(i.toLong, "-v", a, 0L, 0)
+        case 2 | 3 => GraphUpdate(i.toLong, "-e", a, b, 0)
+        case _ => GraphUpdate(i.toLong, "e", a, b, rnd.nextInt(3))
+      }
+    }
+  }
+
+  private def baseGraph(seed: Int, ids: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed + 1000)
+    val verts = (0 until ids).map(i => (i.toLong, rnd.nextInt(3))).toDF("id", "vlabel")
+    val edges = (1 to ids * 2).map { _ =>
+      val a = rnd.nextInt(ids).toLong
+      val b = rnd.nextInt(ids).toLong
+      (a, b, rnd.nextInt(3))
+    }.filter(t => t._1 != t._2).distinct
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique directed keys
+      .toDF("src", "dst", "elabel")
+    (verts.localCheckpoint(true), edges.localCheckpoint(true))
+  }
+
+  test("compactLocal equals compact (random batches)") {
+    import spark.implicits._
+    (0 until 5).foreach { s =>
+      val ops = randomBatch(s, 60, 12)
+      val viaDf = Updates.compact(spark.createDataset(ops))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val local = Updates.compactLocal(ops)
+        .map(u => (u.seq, u.op, u.id1, u.id2)).toSet
+      assert(local == viaDf, s"seed $s")
+    }
+  }
+
+  test("applyBatchLabeledLocal equals applyBatchLabeled (random, with -v segments)") {
+    import spark.implicits._
+    (0 until 6).foreach { s =>
+      val (v0, e0) = baseGraph(s, 10)
+      val ops = randomBatch(s, 40, 10)
+      val (vA, eA) = Updates.applyBatchLabeled(spark, v0, e0, spark.createDataset(ops))
+      val (vB, eB) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+      val va = vA.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val vb = vB.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val ea = eA.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val eb = eB.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(vb == va, s"vertices diverge at seed $s")
+      assert(eb == ea, s"edges diverge at seed $s")
+    }
+  }
+
+  test("edgeDeltaCollected equals edgeDelta keys and slices (random)") {
+    import spark.implicits._
+    (0 until 6).foreach { s =>
+      val (v0, e0) = baseGraph(s + 50, 10)
+      val ops = randomBatch(s + 50, 40, 10)
+      val batch = spark.createDataset(ops)
+      val (v1, e1) = Updates.applyBatchLabeled(spark, v0, e0, batch)
+      val e1c = e1.localCheckpoint(true)
+
+      val (addDf, delDf) = Updates.edgeDelta(spark, e0, e1c, batch)
+      val addK = addDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val delK = delDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val local = Updates.edgeDeltaCollected(spark, e0, e1c, ops)
+      assert(local.added.toSet == addK, s"added keys diverge at seed $s")
+      assert(local.deleted.toSet == delK, s"deleted keys diverge at seed $s")
+
+      // slices: rows of after/before whose canonical key is in the delta
+      def slice(t: org.apache.spark.sql.DataFrame, keys: Set[(Long, Long)]) =
+        t.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .filter(r => keys((math.min(r._1, r._2), math.max(r._1, r._2)))).toSet
+      assert(local.addedRows.toSet == slice(e1c, addK), s"added rows diverge at seed $s")
+      assert(local.deletedRows.toSet == slice(e0, delK), s"deleted rows diverge at seed $s")
+      val _ = v1
+    }
+  }
+}
