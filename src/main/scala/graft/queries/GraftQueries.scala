@@ -198,6 +198,39 @@ object GraftQueries {
       val flagged = e.withColumn("isNew", (col("src") + col("dst")) % 10 === 0)
       GraphMatcher.countDeltaMatches(s, q, flagged, v)
     }),
+    "q_csm_maintained" -> ((s, d) => {
+      // The CONTINUOUS tier end-to-end under the oracle gate (J6+J11): seed
+      // the materialized-state multi-query driver with a hash-slice of the
+      // labeled graph, replay a deterministic add/delete stream in three
+      // micro-batches through the driver-local fast path, and return the
+      // MAINTAINED counts — the oracle recomputes them from scratch over
+      // the FINAL edge set, so routing, delta derivation, and the stored
+      // stage delta rule are all cross-engine result-gated (the per-batch
+      // invariants are sbt stress-pinned; this pins the end state).
+      import graft.matching.{MultiQueryDriver, QueryGraph}
+      import graft.graph.GraphUpdate
+      val (e, v) = labeledParts(s, d)
+      val h = (col("src") * 31 + col("dst")) % 10
+      val eInit = e.where(h < 7)
+      val qs = Map(
+        "p012" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(Some(1), Some(2))),
+        "p123" -> QueryGraph.path(Seq(Some(1), Some(2), Some(3)), Seq(Some(0), Some(1))))
+      val driver = new MultiQueryDriver(s, qs, v, eInit, materializeState = true)
+      val adds = e.where(h === 7 || h === 8)
+        .select(col("src"), col("dst"), col("elabel")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2))
+      val dels = e.where(h === 0).select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      var seq = 0L
+      val ops =
+        adds.map { case (a, b, l) => seq += 1; GraphUpdate(seq, "e", a, b, l) } ++
+          dels.map { case (a, b) => seq += 1; GraphUpdate(seq, "-e", a, b, 0) }
+      (0 until 3).foreach { k =>
+        driver.applyBatchLocal(ops.filter(u => (u.id1 + u.id2) % 3 == k).toSeq)
+      }
+      import s.implicits._
+      driver.counts.toSeq.sortBy(_._1).toDF("qname", "cnt").orderBy("qname")
+    }),
     "q_match_tailtri" -> ((s, d) => {
       // tailed triangle: label-1 triangle core with a label-2 pendant —
       // exercises the MIXED kernel-and-shell path (enumerated core × one
@@ -764,6 +797,26 @@ object GraftQueries {
       "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src) " +
       "SELECT count(*) AS delta_matches FROM m " +
       "WHERE k1 % 10 = 0 OR k2 % 10 = 0"),
+
+    // maintained continuous-tier counts == from-scratch counts over the
+    // FINAL edge set: init slice h<7, stream adds h in {7,8}, stream
+    // deletes h=0 -> final h in 1..8 (h = (src*31+dst)%10 on canonical
+    // src<dst edges)
+    "q_csm_maintained" -> (s"WITH e AS MATERIALIZED ($copurchaseEdgesSql), " +
+      "lv AS MATERIALIZED (SELECT p_partkey AS id, p_partkey % 4 AS vlabel FROM part), " +
+      "e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE (src * 31 + dst) % 10 BETWEEN 1 AND 8), " +
+      "ue AS MATERIALIZED (SELECT src, dst, (src + dst) % 3 AS elabel FROM e2 " +
+      "UNION ALL SELECT dst AS src, src AS dst, (src + dst) % 3 AS elabel FROM e2), " +
+      "r AS MATERIALIZED (SELECT ue.src, ue.dst, ue.elabel, a.vlabel AS sl, b.vlabel AS dl " +
+      "FROM ue JOIN lv a ON a.id = ue.src JOIN lv b ON b.id = ue.dst), " +
+      "m1 AS (SELECT count(*) AS c FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 0 AND r1.dl = 1 AND r1.elabel = 1 " +
+      "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src), " +
+      "m2 AS (SELECT count(*) AS c FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
+      "WHERE r1.sl = 1 AND r1.dl = 2 AND r1.elabel = 0 " +
+      "AND r2.dl = 3 AND r2.elabel = 1 AND r2.dst <> r1.src) " +
+      "SELECT 'p012' AS qname, c AS cnt FROM m1 " +
+      "UNION ALL SELECT 'p123' AS qname, c AS cnt FROM m2 ORDER BY qname"),
 
     // ordered injective tailed-triangle count: label-1 triangle via the
     // clique-style self-joins, label-2 pendant on x (w is label-disjoint
