@@ -115,21 +115,8 @@ final class MultiQueryDriver(spark: SparkSession,
     * generation b+1's pipeline, so releasing all but the newest two is
     * safe once a batch commits. The localCheckpoint compaction cadence
     * stays as the lineage/debt bound. */
-  private final class StateRoller {
-    private val gens = scala.collection.mutable.Queue
-      .empty[Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]]
-    def roll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
-      val wrapped = dfs.map(df => org.apache.spark.sql.GraftSqlShims.truncated(df))
-      gens.enqueue(wrapped.map(_._2))
-      while (gens.size > 2) gens.dequeue().foreach(_.unpersist(false))
-      wrapped.map(_._1)
-    }
-    def clear(): Unit = {
-      gens.foreach(_.foreach(_.unpersist(false))); gens.clear()
-    }
-  }
-  private val graphRoller = new StateRoller
-  private val relRoller = new StateRoller
+  private val graphRoller = new graft.util.StateRoller
+  private val relRoller = new graft.util.StateRoller
 
   /** Rows of `labeled` (src,dst,elabel) whose canonical key is in `keys`. */
   private def labeledSlice(labeled: DataFrame, keys: DataFrame): DataFrame =

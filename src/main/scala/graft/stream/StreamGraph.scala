@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.algo.AlgoResult
 import graft.graph.GraphUpdate
 
 /** Structured-Streaming ingestion of the update stream — the realized form
@@ -33,10 +34,13 @@ final class StreamGraph(spark: SparkSession,
                         initialEdges: DataFrame,
                         maintainTriangles: Boolean = false,
                         maintainPageRank: Boolean = false,
-                        prTol: Double = 1e-6) {
+                        prTol: Double = 1e-6,
+                        compactEvery: Int = 8) {
 
   @volatile var vertices: DataFrame = initialVertices.localCheckpoint(true)
   @volatile var edges: DataFrame = initialEdges.localCheckpoint(true)
+  private val roller = new graft.util.StateRoller
+  private var rollsSinceCompact = 0
 
   /** Incrementally-maintained prepared PageRank inputs: a FIXED
     * co-partitioned base adjacency plus a tiny signed patch, vertex state
@@ -82,70 +86,119 @@ final class StreamGraph(spark: SparkSession,
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[GraphUpdate], _: Long) =>
-        if (!batch.isEmpty) {
-          val e0 = edges
-          val (v1, e1, res, nSafe, nUnsafe) =
-            Updates.incrementalCC(spark, vertices, edges, ccState, batch)
-          vertices = v1
-          edges = e1
-          ccState = res.state.localCheckpoint(true)
-          totalSafe += nSafe
-          totalUnsafe += nUnsafe
-          batchesSeen += 1
-          if (maintainTriangles) {
-            // per-batch delta from the batch's OWN ops (broadcast joins,
-            // O(|Δ|) shuffle — round 2 anti-joined the full before/after
-            // tables here, a full-graph pass per micro-batch)
-            val (added0, deleted0) = Updates.edgeDelta(spark, e0, e1, batch)
-            val added = added0.localCheckpoint(true)
-            val deleted = deleted0.localCheckpoint(true)
-            // tri(e1) = tri(e0) + |tri(e1) ∋ added| − |tri(e0) ∋ deleted|:
-            // a created triangle lives in e1 and uses an added edge, a
-            // destroyed one lives in e0 and uses a deleted edge, and the two
-            // sets cannot overlap (one is ⊆ e1-only, the other ⊆ e0-only)
-            val pos =
-              if (added.limit(1).count() == 0) 0L
-              else graft.matching.DeltaTriangles.countTouching(spark, e1, added)
-            val neg =
-              if (deleted.limit(1).count() == 0) 0L
-              else graft.matching.DeltaTriangles.countTouching(spark, e0, deleted)
-            trianglePositive += pos
-            triangleNegative += neg
-            triangleCount += pos - neg
-          }
-          if (maintainPageRank) {
-            import spark.implicits._
-            // directed O(|Δ|) delta + tiny driver-side vertex membership diff
-            val (addD0, delD0) = Updates.edgeDeltaDirected(spark, e0, e1, batch)
-            val addD = addD0.localCheckpoint(true)
-            val delD = delD0.localCheckpoint(true)
-            val cand = batch.filter(u => u.op == "v" || u.op == "-v")
-              .select(col("id1")).distinct().as[Long].collect().toSeq
-            val (newIds, delIds) =
-              if (cand.isEmpty) (Seq.empty[Long], Seq.empty[Long])
-              else {
-                val inPrev = prPrepared.verts.where(col("id").isin(cand: _*))
-                  .select(col("id")).as[Long].collect().toSet
-                val inNew = v1.where(col("id").isin(cand: _*))
-                  .select(col("id")).as[Long].collect().toSet
-                ((inNew -- inPrev).toSeq, (inPrev -- inNew).toSeq)
-              }
-            prPrepared = graft.algo.PageRank.updatePrepared(
-              spark, prPrepared, addD, delD, newIds, delIds)
-            val patchRows = prPrepared.patch.map(_.count()).getOrElse(0L)
-            if (patchRows > patchLimit) {
-              prPrepared = graft.algo.PageRank.prepare(spark, e1, v1)
-              prBaseEdges = prPrepared.adj.count()
-              prRebuilds += 1
-            }
-            val prRes = new graft.algo.PageRank(tol = prTol)
-              .runFromPrepared(spark, prPrepared, prRanks)
-            prRanks = prRes.state.localCheckpoint(true)
-            prIterations = prIterations :+ prRes.iterations
-          }
-        }
+        val ops = batch.collect().toSeq.sortBy(_.seq)
+        if (ops.nonEmpty) applyLocal(ops)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch via the driver-local fast path (the same discipline as
+    * MultiQueryDriver.applyBatchLocal): the |Δ|-sized batch is driver-held,
+    * so classification, the two delta derivations, and the vertex
+    * membership diff cost one probe action each; graph state rolls through
+    * persisted leaves (StateRoller) instead of per-batch full checkpoints. */
+  def applyLocal(ops: Seq[GraphUpdate]): Unit = {
+    import spark.implicits._
+    val e0 = edges
+    val v0 = vertices
+
+    // classification (classifyForCC's rule, labels probed in one action):
+    // an edge insert whose endpoints share a CC label is safe; vertex adds
+    // are safe; everything else (unknown labels included) is unsafe
+    val eIds = ops.filter(_.op == "e").flatMap(u => Seq(u.id1, u.id2)).distinct
+    val lbl: Map[Long, Long] =
+      if (eIds.isEmpty) Map.empty
+      else ccState.join(
+          org.apache.spark.sql.functions.broadcast(eIds.toDF("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nSafe = ops.count(u => u.op == "v" ||
+      (u.op == "e" && lbl.get(u.id1).exists(l => lbl.get(u.id2).contains(l)))).toLong
+    val nUnsafe = ops.size - nSafe
+
+    val (v1v, e1v) = Updates.applyBatchUnlabeledLocal(spark, v0, e0, ops)
+    val Seq(v1, e1) = roller.roll(Seq(v1v, e1v))
+    vertices = v1
+    edges = e1
+    rollsSinceCompact += 1
+    if (rollsSinceCompact >= compactEvery) {
+      vertices = vertices.localCheckpoint(true)
+      edges = edges.localCheckpoint(true)
+      roller.clear()
+      rollsSinceCompact = 0
+    }
+
+    val hasDelete = ops.exists(u => u.op == "-v" || u.op == "-e")
+    val res =
+      if (nUnsafe == 0) {
+        val newV = vertices.join(ccState.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("label", col("id"))
+        AlgoResult(ccState.union(newV), 0, Seq.empty)
+      } else if (!hasDelete) {
+        val cc = new graft.algo.ConnectedComponents(maxIter = 60)
+        val warmInit = ccState.union(
+          vertices.join(ccState.select(col("id")), Seq("id"), "left_anti")
+            .withColumn("label", col("id")))
+        cc.runFrom(spark, edges, vertices, warmInit)
+      } else {
+        new graft.algo.ConnectedComponents(maxIter = 60).run(spark, edges, vertices)
+      }
+    ccState = res.state.localCheckpoint(true)
+    totalSafe += nSafe
+    totalUnsafe += nUnsafe
+    batchesSeen += 1
+
+    if (maintainTriangles) {
+      // canonical delta from the batch's OWN ops, ONE probe action over
+      // before and after, keys collected (|Δ|-bounded)
+      val (addK, delK) = Updates.edgeDeltaKeysCollected(spark, e0, edges, ops)
+      // tri(e1) = tri(e0) + |tri(e1) ∋ added| − |tri(e0) ∋ deleted|:
+      // a created triangle lives in e1 and uses an added edge, a destroyed
+      // one lives in e0 and uses a deleted edge, and the two sets cannot
+      // overlap (one is ⊆ e1-only, the other ⊆ e0-only)
+      val pos =
+        if (addK.isEmpty) 0L
+        else graft.matching.DeltaTriangles.countTouching(spark, edges, addK.toDF("src", "dst"))
+      val neg =
+        if (delK.isEmpty) 0L
+        else graft.matching.DeltaTriangles.countTouching(spark, e0, delK.toDF("src", "dst"))
+      trianglePositive += pos
+      triangleNegative += neg
+      triangleCount += pos - neg
+    }
+    if (maintainPageRank) {
+      // directed collected delta + driver-side vertex membership diff
+      val (addD, delD) = Updates.edgeDeltaDirectedCollected(spark, e0, edges, ops)
+      val cand = ops.filter(u => u.op == "v" || u.op == "-v").map(_.id1).distinct
+      val (newIds, delIds) =
+        if (cand.isEmpty) (Seq.empty[Long], Seq.empty[Long])
+        else {
+          val candDf = cand.toDF("id")
+          val rows = prPrepared.verts
+            .join(org.apache.spark.sql.functions.broadcast(candDf), Seq("id"), "left_semi")
+            .select(org.apache.spark.sql.functions.lit("p").as("w"), col("id"))
+            .unionByName(vertices
+              .join(org.apache.spark.sql.functions.broadcast(candDf), Seq("id"), "left_semi")
+              .select(org.apache.spark.sql.functions.lit("n").as("w"), col("id")))
+            .collect()
+          val inPrev = rows.filter(_.getString(0) == "p").map(_.getLong(1)).toSet
+          val inNew = rows.filter(_.getString(0) == "n").map(_.getLong(1)).toSet
+          ((inNew -- inPrev).toSeq, (inPrev -- inNew).toSeq)
+        }
+      prPrepared = graft.algo.PageRank.updatePrepared(
+        spark, prPrepared, addD.toDF("src", "dst"), delD.toDF("src", "dst"),
+        newIds, delIds)
+      val patchRows = prPrepared.patch.map(_.count()).getOrElse(0L)
+      if (patchRows > patchLimit) {
+        prPrepared = graft.algo.PageRank.prepare(spark, edges, vertices)
+        prBaseEdges = prPrepared.adj.count()
+        prRebuilds += 1
+      }
+      val prRes = new graft.algo.PageRank(tol = prTol)
+        .runFromPrepared(spark, prPrepared, prRanks)
+      prRanks = prRes.state.localCheckpoint(true)
+      prIterations = prIterations :+ prRes.iterations
+    }
   }
 }

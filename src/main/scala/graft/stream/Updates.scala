@@ -437,10 +437,17 @@ object Updates {
       if (eAdds.nonEmpty || eDels.nonEmpty || vDels.nonEmpty) {
         var e1 = e
         if (eAdds.nonEmpty) {
-          val eAddDf = eAdds.toDF("src", "dst", "elabel")
-            .where(col("src") =!= col("dst"))
-          e1 = e1.union(
-            eAddDf.join(e.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti"))
+          val eAddDf = eAdds.filter(t => t._1 != t._2).toDF("src", "dst", "elabel")
+          // keep-existing-on-duplicate, broadcast-only: a LeftAnti with the
+          // BIG table on the right cannot broadcast-build (BuildRight only),
+          // so "adds not already present" is derived through a delta-sized
+          // `present` probe: stream E once with the add keys broadcast, then
+          // anti-join the adds against the (tiny) present set
+          val present = e.join(broadcast(eAddDf.select(col("src"), col("dst"))),
+            Seq("src", "dst"), "left_semi")
+          e1 = e1.union(eAddDf.join(
+            broadcast(present.select(col("src"), col("dst"))),
+            Seq("src", "dst"), "left_anti"))
         }
         if (eDels.nonEmpty)
           e1 = e1.join(broadcast(eDels.toDF("src", "dst")), Seq("src", "dst"), "left_anti")
@@ -451,6 +458,61 @@ object Updates {
             .join(broadcast(vDelDf.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
         }
         e = e1.select(col("src"), col("dst"), col("elabel"))
+      }
+    }
+    (v, e)
+  }
+
+  /** Driver-side mirror of `applyBatch` (UNLABELED tier) with ZERO Spark
+    * actions: same segmentation and per-segment algebra, with the
+    * whole-table `distinct`/`dropDuplicates` replaced by the equivalent
+    * anti-join-the-adds form (sound under the maintained no-duplicates
+    * invariant, which `applyBatch` itself establishes). Strict-mode
+    * validation is not mirrored (callers on the hot loop never use it). */
+  def applyBatchUnlabeledLocal(spark: SparkSession, vertices: DataFrame,
+                               edges: DataFrame, ops: Seq[GraphUpdate])
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var v = vertices.select(col("id"))
+    var e = edges.select(col("src"), col("dst"))
+    segmentsLocal(ops).foreach { seg =>
+      val c = compactLocal(seg)
+      val vAdds = c.filter(_.op == "v").map(_.id1)
+      val vDels = c.filter(_.op == "-v").map(_.id1)
+      val eAdds = c.filter(_.op == "e").map(u => (u.id1, u.id2))
+        .filter(t => t._1 != t._2)
+      val eDels = c.filter(_.op == "-e").map(u => (u.id1, u.id2))
+
+      // unlabeled rows ARE their keys, so upsert = delete-then-union — a
+      // pure broadcast-anti + LocalRelation-union shape (the "append adds
+      // not present" form would put the big table on an anti-join's right,
+      // which cannot broadcast-build)
+      if (vAdds.nonEmpty || vDels.nonEmpty) {
+        var v1 = v
+        if (vAdds.nonEmpty) {
+          val vAddDf = vAdds.toDF("id")
+          v1 = v1.join(broadcast(vAddDf), Seq("id"), "left_anti").union(vAddDf)
+        }
+        if (vDels.nonEmpty)
+          v1 = v1.join(broadcast(vDels.toDF("id")), Seq("id"), "left_anti")
+        v = v1
+      }
+      if (eAdds.nonEmpty || eDels.nonEmpty || vDels.nonEmpty) {
+        var e1 = e
+        if (eAdds.nonEmpty) {
+          val eAddDf = eAdds.toDF("src", "dst")
+          e1 = e1.join(broadcast(eAddDf), Seq("src", "dst"), "left_anti")
+            .union(eAddDf)
+        }
+        if (eDels.nonEmpty)
+          e1 = e1.join(broadcast(eDels.toDF("src", "dst")), Seq("src", "dst"), "left_anti")
+        if (vDels.nonEmpty) {
+          val vDelDf = vDels.toDF("id")
+          e1 = e1
+            .join(broadcast(vDelDf.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+            .join(broadcast(vDelDf.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+        }
+        e = e1.select(col("src"), col("dst"))
       }
     }
     (v, e)
@@ -512,5 +574,54 @@ object Updates {
         .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
     EdgeDeltaLocal(added.toSeq, deleted.toSeq,
       rowsOf("f", added), rowsOf("b", deleted))
+  }
+
+  /** Keys-only collected canonical delta for UNLABELED edge tables — the
+    * `edgeDelta` derivation in one probe action, result collected. */
+  def edgeDeltaKeysCollected(spark: SparkSession, before: DataFrame, after: DataFrame,
+                             ops: Seq[GraphUpdate])
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val d = edgeDeltaCollected(spark,
+      before.select(col("src"), col("dst")).withColumn("elabel", lit(0)),
+      after.select(col("src"), col("dst")).withColumn("elabel", lit(0)), ops)
+    (d.added, d.deleted)
+  }
+
+  /** DIRECTED collected delta (the PageRank maintenance path): mirror of
+    * `edgeDeltaDirected` — keys keep orientation, candidacy from the RAW
+    * ops, non-exclusive isA/isD, `-v` incidence — one probe action over
+    * before and after, hits collected. */
+  def edgeDeltaDirectedCollected(spark: SparkSession, before: DataFrame,
+                                 after: DataFrame, ops: Seq[GraphUpdate])
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val eAddKeys = ops.filter(_.op == "e").map(u => (u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val eDelKeys = ops.filter(_.op == "-e").map(u => (u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val vDelIds = ops.filter(_.op == "-v").map(_.id1).toSet
+    if (eAddKeys.isEmpty && eDelKeys.isEmpty && vDelIds.isEmpty)
+      return (Nil, Nil)
+    val keysDf = (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
+        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true)))
+      .toSeq.toDF("src", "dst", "kA", "kD")
+    def probe(t: DataFrame, side: String): DataFrame = {
+      val s = t.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      val incident =
+        if (vDelIds.isEmpty) lit(false)
+        else col("src").isin(vDelIds.toSeq: _*) || col("dst").isin(vDelIds.toSeq: _*)
+      s.join(broadcast(keysDf), Seq("src", "dst"), "left_outer")
+        .withColumn("isA", coalesce(col("kA"), lit(false)))
+        .withColumn("isD", coalesce(col("kD"), lit(false)) || incident)
+        .where(col("isA") || col("isD"))
+        .select(lit(side).as("side"), col("src"), col("dst"), col("isA"), col("isD"))
+    }
+    val rows = probe(before, "b").unionByName(probe(after, "f")).collect()
+    def keysOf(side: String, idx: Int): Set[(Long, Long)] =
+      rows.iterator.filter(r => r.getString(0) == side && r.getBoolean(idx))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val added = (keysOf("f", 3) -- keysOf("b", 3)).toSeq
+    val deleted = (keysOf("b", 4) -- keysOf("f", 4)).toSeq
+    (added, deleted)
   }
 }

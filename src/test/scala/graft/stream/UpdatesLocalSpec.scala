@@ -68,6 +68,59 @@ class UpdatesLocalSpec extends SparkSpec {
     }
   }
 
+  test("local apply is broadcast-only: no shuffle ever touches the graph tables") {
+    import spark.implicits._
+    // adversarial: kill auto-broadcast so ONLY explicitly-hinted broadcasts
+    // survive — at warehouse scale the graph tables are far over any
+    // auto-broadcast threshold, so the plan shape must not depend on it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try testBroadcastOnly()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def testBroadcastOnly(): Unit = {
+    import spark.implicits._
+    val v0 = (0L until 2000L).map(i => (i, (i % 3).toInt)).toDF("id", "vlabel")
+      .localCheckpoint(true)
+    val e0 = (0L until 1999L).map(i => (i, i + 1, (i % 2).toInt))
+      .toDF("src", "dst", "elabel").localCheckpoint(true)
+    val ops = Seq(
+      GraphUpdate(1, "e", 5L, 500L, 1),
+      GraphUpdate(2, "e", 7L, 8L, 0),      // duplicate of an existing edge
+      GraphUpdate(3, "-e", 100L, 101L, 0),
+      GraphUpdate(4, "v", 3000L, 0L, 2),
+      GraphUpdate(5, "-v", 1500L, 0L, 0))
+    val (vL, eL) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+    val (vU, eU) = Updates.applyBatchUnlabeledLocal(spark,
+      v0.select(col("id")), e0.select(col("src"), col("dst")), ops)
+    Seq(vL, eL, vU, eU).foreach { df =>
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"full-table sort-merge join in:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"full-table shuffled join in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"shuffle exchange in:\n$plan")
+    }
+  }
+
+  test("applyBatchUnlabeledLocal equals applyBatch (random, with -v segments)") {
+    import spark.implicits._
+    (0 until 6).foreach { s =>
+      val (v0l, e0l) = baseGraph(s + 100, 10)
+      val v0 = v0l.select(col("id")).localCheckpoint(true)
+      val e0 = e0l.select(col("src"), col("dst")).localCheckpoint(true)
+      val ops = randomBatch(s + 100, 40, 10)
+      val (vA, eA) = Updates.applyBatch(spark, v0, e0, spark.createDataset(ops))
+      val (vB, eB) = Updates.applyBatchUnlabeledLocal(spark, v0, e0, ops)
+      assert(vB.collect().map(_.getLong(0)).toSet == vA.collect().map(_.getLong(0)).toSet,
+        s"vertices diverge at seed $s")
+      assert(eB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        eA.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"edges diverge at seed $s")
+    }
+  }
+
   test("edgeDeltaCollected equals edgeDelta keys and slices (random)") {
     import spark.implicits._
     (0 until 6).foreach { s =>
