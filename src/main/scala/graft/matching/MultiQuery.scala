@@ -118,12 +118,6 @@ final class MultiQueryDriver(spark: SparkSession,
   private val graphRoller = new graft.util.StateRoller
   private val relRoller = new graft.util.StateRoller
 
-  /** Rows of `labeled` (src,dst,elabel) whose canonical key is in `keys`. */
-  private def labeledSlice(labeled: DataFrame, keys: DataFrame): DataFrame =
-    labeled.join(broadcast(keys),
-      least(labeled("src"), labeled("dst")) === keys("lo") &&
-        greatest(labeled("src"), labeled("dst")) === keys("hi"), "left_semi")
-
   /** ONE-job index-aware hit detection for ALL affected queries: every
     * query's final candidate round is tagged (qname, qv) and unioned, the
     * per-query-edge orientation specs are a tiny broadcast, and the labeled

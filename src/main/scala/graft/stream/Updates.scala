@@ -104,19 +104,24 @@ object Updates {
       require(danglingEnds == 0, s"e with $danglingEnds endpoint(s) not present (endpoints must exist first)")
     }
 
-    // M1 add vertices; M2 remove vertices (and incident edges)
-    val v1 = vertices.select(col("id")).union(vAdds).distinct()
-      .join(vDels, Seq("id"), "left_anti")
+    // M1 add vertices; M2 remove vertices (and incident edges). Rows ARE
+    // their keys here, so upsert = delete-then-union — broadcast-only (a
+    // whole-table distinct would shuffle V per batch for a |Δ|-sized change)
+    val v1 = vertices.select(col("id"))
+      .join(broadcast(vAdds), Seq("id"), "left_anti").union(vAdds)
+      .join(broadcast(vDels), Seq("id"), "left_anti")
 
-    // M3 add edges (dedup, no self loops); M4 remove edges; cascade -v.
+    // M3 add edges (dedup, no self loops); M4 remove edges; cascade -v —
+    // same delete-then-union shape (the previous whole-table dropDuplicates
+    // was an O(|E|) shuffle per micro-batch).
     // Final select: a USING join (Seq("dst")) reorders columns dst-first,
     // which would silently swap positional consumers — pin the order.
-    val e1 = edges.select(col("src"), col("dst")).union(eAdds)
-      .where(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst")
-      .join(eDels, Seq("src", "dst"), "left_anti")
-      .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-      .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    val e1 = edges.select(col("src"), col("dst"))
+      .join(broadcast(eAdds), Seq("src", "dst"), "left_anti")
+      .union(eAdds.where(col("src") =!= col("dst")))
+      .join(broadcast(eDels), Seq("src", "dst"), "left_anti")
+      .join(broadcast(vDels.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(vDels.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"))
 
     c.unpersist()
@@ -287,17 +292,23 @@ object Updates {
       .select(col("id1").as("src"), col("id2").as("dst"))
 
     val v1 = vertices.select(col("id"), col("vlabel"))
-      .join(vAdds.select(col("id")), Seq("id"), "left_anti") // upsert: new label wins
+      .join(broadcast(vAdds.select(col("id"))), Seq("id"), "left_anti") // upsert: new label wins
       .union(vAdds)
-      .join(vDels, Seq("id"), "left_anti")
+      .join(broadcast(vDels), Seq("id"), "left_anti")
 
+    // "existing row wins on duplicate add" via a delta-sized `present`
+    // probe: a LeftAnti with the big edge table on the right cannot
+    // broadcast-build (BuildRight only) and would silently shuffle E once
+    // past the auto-broadcast threshold — instead stream E once against the
+    // broadcast add keys and anti-join the adds against the tiny result
+    val present = edges.select(col("src"), col("dst"))
+      .join(broadcast(eAdds.select(col("src"), col("dst"))), Seq("src", "dst"), "left_semi")
     val e1 = edges.select(col("src"), col("dst"), col("elabel"))
-      .union(eAdds.join(edges.select(col("src"), col("dst")),
-        Seq("src", "dst"), "left_anti")) // existing row wins on duplicate add
+      .union(eAdds.join(broadcast(present), Seq("src", "dst"), "left_anti"))
       .where(col("src") =!= col("dst"))
-      .join(eDels, Seq("src", "dst"), "left_anti")
-      .join(vDels.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-      .join(vDels.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .join(broadcast(eDels), Seq("src", "dst"), "left_anti")
+      .join(broadcast(vDels.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(vDels.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"), col("elabel")) // USING joins reorder — pin
 
     c.unpersist()

@@ -94,7 +94,13 @@ class UpdatesLocalSpec extends SparkSpec {
     val (vL, eL) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
     val (vU, eU) = Updates.applyBatchUnlabeledLocal(spark,
       v0.select(col("id")), e0.select(col("src"), col("dst")), ops)
-    Seq(vL, eL, vU, eU).foreach { df =>
+    // the generic DataFrame paths must hold the same shape (they previously
+    // whole-table-shuffled via dropDuplicates / a big-right LeftAnti)
+    val batch = spark.createDataset(ops)(org.apache.spark.sql.Encoders.product[GraphUpdate])
+    val (vD, eD) = Updates.applyBatch(spark,
+      v0.select(col("id")), e0.select(col("src"), col("dst")), batch)
+    val (vDL, eDL) = Updates.applyBatchLabeled(spark, v0, e0, batch)
+    Seq(vL, eL, vU, eU, vD, eD, vDL, eDL).foreach { df =>
       df.collect() // finalize AQE
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"), s"full-table sort-merge join in:\n$plan")
