@@ -140,14 +140,21 @@ object CandidateIndex {
     * (src, dst) delta. */
   def refreshAfterAdds(spark: SparkSession, query: QueryGraph, relNew: DataFrame,
                        verticesNew: DataFrame, prev: Index,
-                       addedEdges: DataFrame): (Index, RefreshStats) = {
+                       addedEdges: DataFrame,
+                       newVertexIdsLocal: Option[Seq[Long]] = None): (Index, RefreshStats) = {
+    import spark.implicits._
     val endpoints = addedEdges.select(col("src").as("id"))
       .union(addedEdges.select(col("dst").as("id"))).distinct()
     // genuinely-new = not in the PRIOR FULL vertex set (round 0 is label-
     // filtered, so anti-joining it would re-seed every non-matching-label
-    // vertex each refresh — an O(|V|) frontier; round-3 advice finding)
-    val newVerts = verticesNew.select(col("id"))
-      .join(prev.vertexIds, Seq("id"), "left_anti")
+    // vertex each refresh — an O(|V|) frontier; round-3 advice finding).
+    // A driver that knows the batch (the continuous tier always does) passes
+    // the new ids LOCALLY — the big-vs-big anti-join per refresh disappears.
+    val newVerts = newVertexIdsLocal match {
+      case Some(ids) => ids.toDF("id")
+      case None => verticesNew.select(col("id"))
+        .join(prev.vertexIds, Seq("id"), "left_anti")
+    }
     val seedIds = endpoints.union(newVerts).distinct().localCheckpoint(true)
 
     // round 0: label base only grows by genuinely new vertices.
@@ -184,7 +191,13 @@ object CandidateIndex {
         .select(col("src").as("id"))
         .union(seedIds).distinct().localCheckpoint(true)
     }
-    val idsNew = verticesNew.select(col("id")).localCheckpoint(true)
+    // the maintained full-id set: a per-refresh |V| checkpoint copy is only
+    // needed on the generic path; with local new ids it's a tiny overlay
+    val idsNew = newVertexIdsLocal match {
+      case Some(ids) if ids.isEmpty => prev.vertexIds
+      case Some(ids) => prev.vertexIds.union(ids.toDF("id")).localCheckpoint(true)
+      case None => verticesNew.select(col("id")).localCheckpoint(true)
+    }
     (Index(query, per, idsNew), RefreshStats(frontierSizes.toSeq, diffs))
   }
 
@@ -192,13 +205,24 @@ object CandidateIndex {
     * against the post-delete relation (sound: deletes only remove support,
     * and intersecting with the old sets keeps the rounds monotone). */
   def refreshAfterDeletes(spark: SparkSession, query: QueryGraph, relNew: DataFrame,
-                          verticesNew: DataFrame, prev: Index): Index = {
-    val live = verticesNew.select(col("id"))
-    var per = Vector(prev.perRound(0).join(live, Seq("id"), "left_semi")
+                          verticesNew: DataFrame, prev: Index,
+                          deletedVertexIdsLocal: Option[Seq[Long]] = None): Index = {
+    import spark.implicits._
+    // liveness filter: a semi-join against the FULL live vertex set puts the
+    // big table on the build side (cannot broadcast at scale); a driver that
+    // knows the batch passes the DEAD ids locally (must already exclude
+    // same-batch re-adds) and the filter becomes a broadcast anti
+    def keepLive(df: DataFrame): DataFrame = deletedVertexIdsLocal match {
+      case Some(dead) =>
+        if (dead.isEmpty) df
+        else df.join(broadcast(dead.toDF("id")), Seq("id"), "left_anti")
+      case None => df.join(verticesNew.select(col("id")), Seq("id"), "left_semi")
+    }
+    var per = Vector(keepLive(prev.perRound(0))
       .select(col("qv"), col("id"))
       .localCheckpoint(true))
     (1 to prev.rounds).foreach { r =>
-      val evalSet = prev.perRound(r).join(live, Seq("id"), "left_semi")
+      val evalSet = keepLive(prev.perRound(r))
         .select(col("qv"), col("id"))
       val next = pruneRound(query, relNew, per(r - 1), evalSet, None)
         .join(evalSet, Seq("qv", "id"), "left_semi")
@@ -206,7 +230,14 @@ object CandidateIndex {
         .localCheckpoint(true)
       per = per :+ next
     }
-    Index(query, per, live.localCheckpoint(true))
+    val ids = deletedVertexIdsLocal match {
+      case Some(dead) if dead.isEmpty => prev.vertexIds
+      case Some(dead) => prev.vertexIds
+        .join(broadcast(dead.toDF("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      case None => verticesNew.select(col("id")).localCheckpoint(true)
+    }
+    Index(query, per, ids)
   }
 
   /** Deprecated round-2 surface: shrink-only refresh via full rebuild +

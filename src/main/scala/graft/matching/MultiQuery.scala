@@ -187,13 +187,21 @@ final class MultiQueryDriver(spark: SparkSession,
     // relabel hazard: an existing vertex whose label changed (driver-side
     // candidates; one tiny semi-join probe of V only when v-ops exist)
     val vOps = ops.filter(_.op == "v")
-    val relabeled = vOps.nonEmpty && {
-      val newL = vOps.groupBy(_.id1).map { case (id, us) => id -> us.maxBy(_.seq).label }
-      val oldL = v0.join(broadcast(newL.keys.toSeq.toDF("id")), Seq("id"), "left_semi")
+    val vOpOldLabels: Map[Long, Int] =
+      if (vOps.isEmpty) Map.empty
+      else v0.join(broadcast(vOps.map(_.id1).distinct.toDF("id")), Seq("id"), "left_semi")
         .select(col("id"), col("vlabel")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      oldL.exists { case (id, l) => newL(id) != l }
+    val relabeled = vOps.nonEmpty && {
+      val newL = vOps.groupBy(_.id1).map { case (id, us) => id -> us.maxBy(_.seq).label }
+      newL.exists { case (id, l) => vOpOldLabels.get(id).exists(_ != l) }
     }
+    // batch-derived vertex membership deltas (labeled tier: only v-ops
+    // create vertex rows; final compacted op decides survival)
+    val compacted = Updates.compactLocal(ops)
+    val newVertexIds = compacted.filter(_.op == "v").map(_.id1)
+      .filterNot(vOpOldLabels.contains)
+    val deadVertexIds = compacted.filter(_.op == "-v").map(_.id1)
 
     val Seq(v1r, e1r) = graphRoller.roll(Seq(v1, e1))
     vertices = v1r
@@ -387,7 +395,8 @@ final class MultiQueryDriver(spark: SparkSession,
         name -> (if (affected(name) && nAdd > 0) {
           val (i2, _) = CandidateIndex.refreshAfterAdds(spark, queries(name),
             relAfterAdds, vUnion, indexes(name),
-            addedK.select(col("lo").as("src"), col("hi").as("dst")))
+            addedK.select(col("lo").as("src"), col("hi").as("dst")),
+            newVertexIdsLocal = Some(newVertexIds))
           i2
         } else indexes(name))
       }.toMap
@@ -419,7 +428,7 @@ final class MultiQueryDriver(spark: SparkSession,
       queries.foreach { case (name, q) =>
         if (affected(name))
           indexes(name) = CandidateIndex.refreshAfterDeletes(spark, q, relFinal,
-            v1c, idxAfterAdds(name))
+            v1c, idxAfterAdds(name), deletedVertexIdsLocal = Some(deadVertexIds))
         else indexes(name) = idxAfterAdds(name)
       }
       commitRel()
