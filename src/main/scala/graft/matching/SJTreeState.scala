@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * Per-batch work shape: every delta-side join streams the big side ONCE
   * with the tiny side broadcast — no shuffle ever touches the full relation
   * or the stored stages; at warehouse scale the stage/relation scans prune
-  * further via bucketing on the probe keys. Stage updates are LAZY views
-  * (union ∪ broadcast-anti overlays) compacted every `compactEvery` batches
-  * so Catalyst plan depth stays bounded — the Spark rendering of the
-  * reference's in-place hash-state mutation.
+  * further via bucketing on the probe keys. Stage 0 is only a label filter
+  * over the maintained relation and stays a VIEW re-anchored on it each
+  * batch (anchorSeed); join stages (>= 1) are rebuilt per batch as
+  * persisted-RDD leaves over cached per-batch deltas (rolling generations)
+  * and eagerly checkpointed every `compactEvery` batches as the lineage
+  * bound — the Spark rendering of the reference's in-place hash-state
+  * mutation, with the delta caches playing the role of the freshly-inserted
+  * hash entries.
   *
   * Memory note: like the reference's SJ-tree (its documented weakness —
   * README.md's intermediate-result blowup discussion), stage relations can

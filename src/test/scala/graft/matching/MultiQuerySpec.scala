@@ -250,6 +250,11 @@ class MultiQuerySpec extends SparkSpec {
     assert(aLarge <= aSmall,
       s"per-batch driver actions must not grow with query count: " +
         s"${small.size} queries → $aSmall actions, ${large.size} queries → $aLarge actions")
+    // absolute pin for the fast path: one candidate probe, one endpoint
+    // label probe, one unioned count action (no v-ops in this batch, so no
+    // relabel probe); a couple spare for Spark-version event drift
+    assert(aLarge <= 5,
+      s"fast-path batch should post ~3 driver actions, saw $aLarge")
   }
 
   test("relabel hazard triggers a sound full recompute") {
