@@ -26,7 +26,8 @@ object Bench {
   // twins q_dedup_minhash / q_ann_lsh are included); q_csm_maintained is the
   // continuous tier's ORACLE form — its timing story is the dedicated
   // streaming section below
-  private val excluded = Set("q_dedup_jaccard", "q_embed_sim_pairs", "q_csm_maintained")
+  private val excluded =
+    Set("q_dedup_jaccard", "q_embed_sim_pairs", "q_csm_maintained", "q_stream_maintained")
 
   private def session(cores: Int, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()

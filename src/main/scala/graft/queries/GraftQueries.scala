@@ -231,6 +231,42 @@ object GraftQueries {
       import s.implicits._
       driver.counts.toSeq.sortBy(_._1).toDF("qname", "cnt").orderBy("qname")
     }),
+    "q_stream_maintained" -> ((s, d) => {
+      // The STREAMED graph tier end-to-end under the oracle gate: replay the
+      // same deterministic add/delete stream through StreamGraph.applyLocal
+      // (safe/unsafe CC protocol + per-batch triangle delta counters) and
+      // return the MAINTAINED results — the oracle recomputes connected
+      // components (WITH RECURSIVE, isolated vertices included), the edge
+      // count, and the triangle count from scratch over the FINAL edge set.
+      import graft.stream.StreamGraph
+      import graft.graph.GraphUpdate
+      val all = copurchaseEdges(s, d)
+      val h = (col("src") * 31 + col("dst")) % 10
+      val eInit = all.where(h < 7)
+      val verts = edgeVertices(all) // every endpoint exists up front
+      val sg = new StreamGraph(s, verts, eInit, maintainTriangles = true)
+      val adds = all.where(h === 7 || h === 8)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val dels = all.where(h === 0)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      var seq = 0L
+      val ops =
+        adds.map { case (a, b) => seq += 1; GraphUpdate(seq, "e", a, b, 0) } ++
+          dels.map { case (a, b) => seq += 1; GraphUpdate(seq, "-e", a, b, 0) }
+      (0 until 3).foreach { k =>
+        sg.applyLocal(ops.filter(u => (u.id1 + u.id2) % 3 == k).toSeq)
+      }
+      import s.implicits._
+      val ccComponents = sg.ccState
+        .agg(countDistinct(col("label"))).head().getLong(0)
+      Seq(
+        ("cc_components", ccComponents),
+        ("edges", sg.edges.count()),
+        ("triangles", sg.triangleCount))
+        .toDF("metric", "value").orderBy("metric")
+    }),
     "q_match_tailtri" -> ((s, d) => {
       // tailed triangle: label-1 triangle core with a label-2 pendant —
       // exercises the MIXED kernel-and-shell path (enumerated core × one
@@ -817,6 +853,25 @@ object GraftQueries {
       "AND r2.dl = 3 AND r2.elabel = 1 AND r2.dst <> r1.src) " +
       "SELECT 'p012' AS qname, c AS cnt FROM m1 " +
       "UNION ALL SELECT 'p123' AS qname, c AS cnt FROM m2 ORDER BY qname"),
+
+    // maintained streamed-graph results == from-scratch over the FINAL edge
+    // set (same h-slice protocol as q_csm_maintained): components via
+    // recursive reachability seeded from ALL initial endpoints (isolated
+    // vertices stay their own components), canonical oriented triangles
+    "q_stream_maintained" -> (s"WITH RECURSIVE e AS MATERIALIZED ($copurchaseEdgesSql), " +
+      "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE (src * 31 + dst) % 10 BETWEEN 1 AND 8), " +
+      "u AS (SELECT src, dst FROM e2 UNION SELECT dst AS src, src AS dst FROM e2), " +
+      "reach(id, label) AS (SELECT id, id FROM verts UNION " +
+      "SELECT u.dst, r.label FROM reach r JOIN u ON u.src = r.id), " +
+      "cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id), " +
+      "tri AS (SELECT count(*) AS c FROM e2 t1 " +
+      "JOIN e2 t2 ON t1.dst = t2.src " +
+      "JOIN e2 t3 ON t3.src = t1.src AND t3.dst = t2.dst) " +
+      "SELECT 'cc_components' AS metric, count(DISTINCT label) AS value FROM cc " +
+      "UNION ALL SELECT 'edges' AS metric, count(*) AS value FROM e2 " +
+      "UNION ALL SELECT 'triangles' AS metric, c AS value FROM tri " +
+      "ORDER BY metric"),
 
     // ordered injective tailed-triangle count: label-1 triangle via the
     // clique-style self-joins, label-2 pendant on x (w is label-disjoint
