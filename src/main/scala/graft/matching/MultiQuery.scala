@@ -349,9 +349,8 @@ final class MultiQueryDriver(spark: SparkSession,
         if (!affected(name)) { searchesSkipped += 1; Seq.empty }
         else {
           searchesRun += 1
-          val (p, n) = states(name).applyDelta(name, relAfterAdds,
-            addedRelRows, deletedRelRows)
-          Seq(p, n)
+          states(name).applyDelta(name, relAfterAdds,
+            addedRelRows, deletedRelRows, hasAdds = nAdd > 0, hasDels = nDel > 0)
         }
       }
       if (aggs.nonEmpty) {

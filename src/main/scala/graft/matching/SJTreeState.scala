@@ -169,12 +169,17 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
   /** Apply one micro-batch's delta. `relNew` = the maintained symmetric
     * relation AFTER adds (A = old ∪ added); `addedRel` / `deletedRel` =
     * its delta-sized slices for added / deleted edges (both orientations).
-    * Returns (posAgg, negAgg) as LAZY one-row (q, side, c) aggregates so
+    * `hasAdds`/`hasDels` let a one-sided batch SKIP the other pass entirely
+    * (an adds-only crawl batch pays zero delete-side scans and vice versa).
+    * Returns the computed sides as LAZY one-row (q, side, c) aggregates so
     * the driver can union them across queries into ONE action; the caller
-    * MUST then feed the collected counts back through commitCounts(). */
+    * MUST then feed the collected counts back through commitCounts()
+    * (absent sides count 0). */
   def applyDelta(name: String, relNew: DataFrame, addedRel: DataFrame,
-                 deletedRel: DataFrame): (DataFrame, DataFrame) = {
+                 deletedRel: DataFrame, hasAdds: Boolean = true,
+                 hasDels: Boolean = true): Seq[DataFrame] = {
     require(stages.nonEmpty, "init() first")
+    require(hasAdds || hasDels, "empty delta — skip applyDelta entirely")
     val k = order.size
 
     // All per-batch derivations stay LAZY — zero driver actions here (a
@@ -189,32 +194,40 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     // With it, each stage is a shallow chain of cached-delta overlays whose
     // depth the compaction cadence bounds.
     // positive pass (prefix-new ∪ prefix-old-edge-new, disjoint)
-    var dPrev = seed(addedRel).persist(storage)
-    cached += dPrev
-    var sA = Vector(cols(stages(0), 0).unionByName(dPrev))
-    var posD = Vector(dPrev)
-    (1 until k).foreach { i =>
-      val t1 = cols(step(i, dPrev, relNew, tinyLeft = true), i)
-      val t2 = cols(step(i, stages(i - 1), addedRel, tinyLeft = false), i)
-      dPrev = t1.unionByName(t2).persist(storage)
-      cached += dPrev
-      posD = posD :+ dPrev
-      sA = sA :+ cols(stages(i), i).unionByName(dPrev)
-    }
+    val (sA, posLast) =
+      if (!hasAdds) (stages.indices.map(i => cols(stages(i), i)).toVector, None)
+      else {
+        var dPrev = seed(addedRel).persist(storage)
+        cached += dPrev
+        var acc = Vector(cols(stages(0), 0).unionByName(dPrev))
+        (1 until k).foreach { i =>
+          val t1 = cols(step(i, dPrev, relNew, tinyLeft = true), i)
+          val t2 = cols(step(i, stages(i - 1), addedRel, tinyLeft = false), i)
+          dPrev = t1.unionByName(t2).persist(storage)
+          cached += dPrev
+          acc = acc :+ cols(stages(i), i).unionByName(dPrev)
+        }
+        (acc, Some(dPrev))
+      }
 
     // negative pass over A (prefix-deleted ∪ clean-prefix-edge-deleted)
-    var nPrev = seed(deletedRel).persist(storage)
-    cached += nPrev
-    var negD = Vector(nPrev)
-    (1 until k).foreach { i =>
-      val t1 = cols(step(i, nPrev, relNew, tinyLeft = true), i)
-      val clean = sA(i - 1).join(broadcast(negD(i - 1)),
-        boundAt(i - 1), "left_anti")
-      val t2 = cols(step(i, clean, deletedRel, tinyLeft = false), i)
-      nPrev = t1.unionByName(t2).persist(storage)
-      cached += nPrev
-      negD = negD :+ nPrev
-    }
+    val (negD, negLast) =
+      if (!hasDels) (Vector.empty[DataFrame], None)
+      else {
+        var nPrev = seed(deletedRel).persist(storage)
+        cached += nPrev
+        var acc = Vector(nPrev)
+        (1 until k).foreach { i =>
+          val t1 = cols(step(i, nPrev, relNew, tinyLeft = true), i)
+          val clean = sA(i - 1).join(broadcast(acc(i - 1)),
+            boundAt(i - 1), "left_anti")
+          val t2 = cols(step(i, clean, deletedRel, tinyLeft = false), i)
+          nPrev = t1.unionByName(t2).persist(storage)
+          cached += nPrev
+          acc = acc :+ nPrev
+        }
+        (acc, Some(nPrev))
+      }
 
     // New stages = (old ∪ Δ⁺) ∖ D. Each materialized stage (>= 1) is
     // TRUNCATED to a LogicalRDD leaf (plan → RDD → fresh Dataset, no job,
@@ -228,7 +241,9 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     val newRdds =
       Seq.newBuilder[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
     stages = (0 until k).map { i =>
-      val view = sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
+      val view =
+        if (!hasDels) sA(i)
+        else sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
       if (i == 0) view
       else {
         val (leaf, r) = org.apache.spark.sql.GraftSqlShims.truncated(view, storage)
@@ -240,10 +255,10 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     rddGens.enqueue(newRdds.result())
     batchesSinceCompact += 1
 
-    (posD.last.agg(count(lit(1)).as("c"))
-       .select(lit(name).as("q"), lit("pos").as("side"), col("c")),
-     negD.last.agg(count(lit(1)).as("c"))
-       .select(lit(name).as("q"), lit("neg").as("side"), col("c")))
+    posLast.map(_.agg(count(lit(1)).as("c"))
+        .select(lit(name).as("q"), lit("pos").as("side"), col("c"))).toSeq ++
+      negLast.map(_.agg(count(lit(1)).as("c"))
+        .select(lit(name).as("q"), lit("neg").as("side"), col("c"))).toSeq
   }
 
   /** Commit the collected delta counts, then (on cadence) compact the stage

@@ -214,7 +214,10 @@ object GraftQueries {
       val eInit = e.where(h < 7)
       val qs = Map(
         "p012" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(Some(1), Some(2))),
-        "p123" -> QueryGraph.path(Seq(Some(1), Some(2), Some(3)), Seq(Some(0), Some(1))))
+        "p123" -> QueryGraph.path(Seq(Some(1), Some(2), Some(3)), Seq(Some(0), Some(1))),
+        // 3 stages incl. a CLOSING edge: the stored-state delta rule's
+        // semi-join step form is oracle-exercised, not just path extensions
+        "tri1" -> QueryGraph.clique(3, Some(1)))
       val driver = new MultiQueryDriver(s, qs, v, eInit, materializeState = true)
       val adds = e.where(h === 7 || h === 8)
         .select(col("src"), col("dst"), col("elabel")).collect()
@@ -850,9 +853,14 @@ object GraftQueries {
       "AND r2.dl = 2 AND r2.elabel = 2 AND r2.dst <> r1.src), " +
       "m2 AS (SELECT count(*) AS c FROM r r1 JOIN r r2 ON r2.src = r1.dst " +
       "WHERE r1.sl = 1 AND r1.dl = 2 AND r1.elabel = 0 " +
-      "AND r2.dl = 3 AND r2.elabel = 1 AND r2.dst <> r1.src) " +
+      "AND r2.dl = 3 AND r2.elabel = 1 AND r2.dst <> r1.src), " +
+      "m3 AS (SELECT count(*) AS c FROM r r1 " +
+      "JOIN r r2 ON r2.src = r1.dst AND r2.dst <> r1.src " +
+      "JOIN r r3 ON r3.src = r2.dst AND r3.dst = r1.src " +
+      "WHERE r1.sl = 1 AND r1.dl = 1 AND r2.dl = 1) " +
       "SELECT 'p012' AS qname, c AS cnt FROM m1 " +
-      "UNION ALL SELECT 'p123' AS qname, c AS cnt FROM m2 ORDER BY qname"),
+      "UNION ALL SELECT 'p123' AS qname, c AS cnt FROM m2 " +
+      "UNION ALL SELECT 'tri1' AS qname, c AS cnt FROM m3 ORDER BY qname"),
 
     // maintained streamed-graph results == from-scratch over the FINAL edge
     // set (same h-slice protocol as q_csm_maintained): components via
