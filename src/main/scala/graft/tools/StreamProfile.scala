@@ -98,6 +98,11 @@ object StreamProfile {
       val total = done.map(e => e.end - e.start).sum / 1e3
       System.err.println(f"[profile] batch $i: ${b.size} ops, wall $wall%.2fs, " +
         f"${done.length} actions, sum action time $total%.2fs, counts=${driver.counts.toMap}")
+      val stor = spark.sparkContext.getRDDStorageInfo
+      System.err.println(f"[profile]   storage: ${stor.length} rdds, " +
+        f"${stor.map(_.memSize).sum / 1e6}%.0f MB mem, " +
+        f"${stor.map(_.diskSize).sum / 1e6}%.0f MB disk, cachedParts " +
+        f"${stor.map(_.numCachedPartitions).sum}/${stor.map(_.numPartitions).sum}")
       done.take(12).foreach { e =>
         System.err.println(f"  ${(e.end - e.start) / 1e3}%7.2fs  ${e.desc.take(220)}")
       }

@@ -28,7 +28,13 @@ object GraftSqlShims {
       : (DataFrame, RDD[InternalRow]) = {
     val cdf = df.asInstanceOf[CDataFrame]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
-    val rdd = cdf.queryExecution.toRdd.map(_.copy()).persist(level)
+    // coalesce (narrow) to the session's shuffle parallelism: the overlay
+    // plans UNION the previous leaf with per-batch deltas, so without it
+    // every roll ADDS partitions and per-scan task count grows without
+    // bound (measured: 546 → 3 681 cached partitions over 6 batches)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+      .coalesce(parts).persist(level)
     (spark.internalCreateDataFrame(rdd, cdf.schema), rdd)
   }
 }
