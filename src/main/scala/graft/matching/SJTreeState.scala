@@ -67,6 +67,12 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
   private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val deltaGens =
     scala.collection.mutable.Queue.empty[Seq[DataFrame]]
+  /** FINAL-stage delta caches, pinned until compaction: the final stage is
+    * never probed by the next batch's delta rule (only stages 0..k-2 feed
+    * t2/clean), so it stays a lazy chain of these cached deltas — each one
+    * materializes inside its own batch's count action (posD/negD.last ARE
+    * the counted relations) and the chain costs zero per-batch work. */
+  private val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   /** Persisted stage RDDs per batch. Batch b's stage RDDs are inputs of
     * batch b+1's (persisted) stages, so generation b is releasable once
     * generation b+1 has materialized — keep the latest two. */
@@ -75,6 +81,7 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
 
   private def releaseAll(): Unit = {
     cached.foreach(_.unpersist(false)); cached.clear()
+    pinned.foreach(_.unpersist(false)); pinned.clear()
     deltaGens.foreach(_.foreach(_.unpersist(false))); deltaGens.clear()
     rddGens.foreach(_.foreach(_.unpersist(false))); rddGens.clear()
   }
@@ -244,13 +251,24 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
       val view =
         if (!hasDels) sA(i)
         else sA(i).join(broadcast(negD(i)), boundAt(i), "left_anti")
-      if (i == 0) view
+      // Only the PROBED interior stages (1..k-2) are truncated to persisted
+      // leaves — they stream through the next batch's t2/clean terms, which
+      // is what materializes their cache. The FINAL stage is probed by
+      // nothing until the compaction checkpoint, so a persisted leaf there
+      // never materializes and the checkpoint would re-execute the whole
+      // since-checkpoint chain of copies (measured: compaction cost grew
+      // linearly with the cadence). It stays a lazy chain over the PINNED
+      // last-level delta caches instead — zero per-batch work, and the
+      // compaction executes one pass over base + cached deltas.
+      if (i == 0 || i == k - 1) view
       else {
         val (leaf, r) = org.apache.spark.sql.GraftSqlShims.truncated(view, storage)
         newRdds += r
         leaf
       }
     }.toVector
+    posLast.foreach { d => cached -= d; pinned += d }
+    negLast.foreach { d => cached -= d; pinned += d }
     deltaGens.enqueue(cached.toSeq); cached.clear()
     rddGens.enqueue(newRdds.result())
     batchesSinceCompact += 1
@@ -268,7 +286,9 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
   def commitCounts(pos: Long, neg: Long): Unit = {
     matchCount = matchCount + pos - neg
     if (batchesSinceCompact >= compactEvery) {
-      // stage 0 is excluded: anchorSeed re-derives it from the compacted rel
+      // stage 0 is excluded: anchorSeed re-derives it from the compacted
+      // rel. The final stage's checkpoint executes its pinned-delta chain
+      // (one pass over the previous checkpoint plus cached deltas).
       stages = stages.zipWithIndex.map { case (s, i) =>
         if (i == 0) s else s.localCheckpoint(true)
       }
