@@ -27,7 +27,10 @@ class EventTimeSpec extends SparkSpec {
       stream.toDF().toDF("ts", "user_id"), "ts", "user_id", "1 minute", "10 minutes")
     val q = streamed.writeStream.format("memory").queryName("win_counts")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    // AvailableNow terminates on its own; a short racy timeout made a slow
+    // co-tenant window read an EMPTY sink (r4 flake) — wait long and assert
+    // the query really finished so a timeout fails as a timeout
+    assert(q.awaitTermination(600000), "windowed-count stream did not finish in 600s")
     val got = spark.table("win_counts")
       .select(col("win_start").cast("string"), col("user_id"), col("n"))
       .as[(String, Long, Long)].collect().toSet
@@ -51,7 +54,7 @@ class EventTimeSpec extends SparkSpec {
     val out = EventTime.sessionizeStream(stream.toDS(), gapSec = 1800.0)
     val q = out.writeStream.format("memory").queryName("sessions")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(600000), "sessionize stream did not finish in 600s")
     val got = spark.table("sessions")
       .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
       .as[(Long, Long, Long)].collect().toSet
