@@ -210,20 +210,38 @@ object Bench {
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // per-query guard: a hung query must not eat the scaling section's
+      // budget (job-group cancellation, P9)
+      try graft.util.Limits.runWithTimeout(spark, s"bench-$name", 600000L) {
+        fn(spark, sfDir).count()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // per-query guard: a hung query must not eat the scaling section's
-        // budget (job-group cancellation, P9)
-        try graft.util.Limits.runWithTimeout(spark, s"bench-$name", 600000L) {
-          fn(spark, sfDir).count()
-        } catch { case _: Throwable => () }
-        val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-22s $secs%8.2fs")
-        name -> secs
-      }
+    val first = toRun.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Best-of-2 under a budget: this VM's co-tenant CPU-steal phases inflate
+    // single samples 5-15×, and a one-sample query section makes a bad
+    // window read as a 10× engine regression. A second pass (most-suspect
+    // first: largest sample × the whole set, skipping only queries whose
+    // first sample already hit the per-query guard) bounds the weather term
+    // by min(); the 600s repeat budget keeps a catastrophic window from
+    // doubling an already-slow run. Same best-of statistic the scaling
+    // matrix has used since round 2 (BASELINE.md weather discipline).
+    val repeatDeadline = System.nanoTime() + 600L * 1000000000L
+    val second = first.sortBy(-_._2).map { case (name, t1) =>
+      if (t1 < 595.0 && System.nanoTime() < repeatDeadline)
+        name -> math.min(t1, timeOne(name, toRun.toMap.apply(name)))
+      else name -> t1
+    }.toMap
+    val results = first.map { case (name, t1) =>
+      val best = second.getOrElse(name, t1)
+      System.err.println(f"[bench] $name%-22s $best%8.2fs")
+      name -> best
+    }
 
     // streaming tier (skippable for quick iteration)
     val skipStreaming = sys.env.get("SPARK_GRAFT_SKIP_STREAMING").contains("1")
