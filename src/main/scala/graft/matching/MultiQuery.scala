@@ -162,7 +162,10 @@ final class MultiQueryDriver(spark: SparkSession,
   def applyBatch(batch: Dataset[GraphUpdate]): (Int, Long, Long) =
     applyBatchLocal(batch.collect().toSeq)
 
-  /** The continuous tier's hot loop, driven by a driver-collected batch.
+  /** The continuous tier's hot loop, driven by a driver-collected batch,
+    * with the planner pinned static for the batch (every join is already
+    * an explicit broadcast and every aggregate one row — AQE's query-stage
+    * barriers only serialize the unioned count plan, BatchConf).
     *
     * Per-batch Spark actions are the scale story here (measured: each action
     * pays a fixed scheduler + broadcast-build cost that dominated the old
@@ -177,7 +180,10 @@ final class MultiQueryDriver(spark: SparkSession,
     *   5. amortized: graph/rel/stage compaction every stateCompactEvery
     * — independent of query count AND of graph size in job count; the two
     * probes stream V/E once with LocalRelation broadcasts (no shuffle). */
-  def applyBatchLocal(ops: Seq[GraphUpdate]): (Int, Long, Long) = {
+  def applyBatchLocal(ops: Seq[GraphUpdate]): (Int, Long, Long) =
+    graft.util.BatchConf.withStaticPlan(spark)(applyBatchLocalImpl(ops))
+
+  private def applyBatchLocalImpl(ops: Seq[GraphUpdate]): (Int, Long, Long) = {
     import spark.implicits._
     batchesSeen += 1
     val v0 = vertices

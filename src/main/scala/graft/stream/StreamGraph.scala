@@ -98,7 +98,10 @@ final class StreamGraph(spark: SparkSession,
     * so classification, the two delta derivations, and the vertex
     * membership diff cost one probe action each; graph state rolls through
     * persisted leaves (StateRoller) instead of per-batch full checkpoints. */
-  def applyLocal(ops: Seq[GraphUpdate]): Unit = {
+  def applyLocal(ops: Seq[GraphUpdate]): Unit =
+    graft.util.BatchConf.withStaticPlan(spark)(applyLocalImpl(ops))
+
+  private def applyLocalImpl(ops: Seq[GraphUpdate]): Unit = {
     import spark.implicits._
     val e0 = edges
     val v0 = vertices
