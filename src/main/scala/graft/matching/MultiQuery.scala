@@ -115,8 +115,12 @@ final class MultiQueryDriver(spark: SparkSession,
     * generation b+1's pipeline, so releasing all but the newest two is
     * safe once a batch commits. The localCheckpoint compaction cadence
     * stays as the lineage/debt bound. */
-  private val graphRoller = new graft.util.StateRoller
+  private val vertexRoller = new graft.util.StateRoller
+  private val edgeRoller = new graft.util.StateRoller
   private val relRoller = new graft.util.StateRoller
+  /** false ⇒ `vertices` is an eager checkpoint (pure-edge batches leave V
+    * untouched; re-checkpointing an unchanged V would copy it per window) */
+  private var verticesDirty = false
 
   /** ONE-job index-aware hit detection for ALL affected queries: every
     * query's final candidate round is tagged (qname, qv) and unioned, the
@@ -183,12 +187,36 @@ final class MultiQueryDriver(spark: SparkSession,
   def applyBatchLocal(ops: Seq[GraphUpdate]): (Int, Long, Long) =
     graft.util.BatchConf.withStaticPlan(spark)(applyBatchLocalImpl(ops))
 
+  // builder-side phase trace (GRAFT_BATCH_TRACE=1): driver wall per phase,
+  // to separate Spark action time from Catalyst analysis / local work
+  private val trace = sys.env.get("GRAFT_BATCH_TRACE").contains("1")
+  private var traceT0 = 0L
+  private def tr(phase: String): Unit = if (trace) {
+    val now = System.nanoTime()
+    System.err.println(f"  [trace] $phase%-22s ${(now - traceT0) / 1e9}%6.3fs")
+    traceT0 = now
+  }
+
   private def applyBatchLocalImpl(ops: Seq[GraphUpdate]): (Int, Long, Long) = {
     import spark.implicits._
+    traceT0 = System.nanoTime()
     batchesSeen += 1
     val v0 = vertices
     val e0 = edges
-    val (v1, e1) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+    // PURE-EDGE fast path: one probe of e0 yields the delta AND the after
+    // view (Updates.pureEdgeBatchLocal); V is untouched, so neither rolled
+    // nor re-checkpointed. The general path streams E three times in the
+    // probe action and copies V per batch.
+    val pureEdge = ops.nonEmpty && ops.forall(o => o.op == "e" || o.op == "-e")
+    val (v1, e1, fastDelta) =
+      if (pureEdge) {
+        val (e1v, d) = Updates.pureEdgeBatchLocal(spark, e0, ops)
+        (v0, e1v, Some(d))
+      } else {
+        val (v1g, e1g) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+        (v1g, e1g, None)
+      }
+    tr("applyBatch views (+probe)")
 
     // relabel hazard: an existing vertex whose label changed (driver-side
     // candidates; one tiny semi-join probe of V only when v-ops exist)
@@ -208,19 +236,29 @@ final class MultiQueryDriver(spark: SparkSession,
     val newVertexIds = compacted.filter(_.op == "v").map(_.id1)
       .filterNot(vOpOldLabels.contains)
     val deadVertexIds = compacted.filter(_.op == "-v").map(_.id1)
+    tr("relabel+compact")
 
-    val Seq(v1r, e1r) = graphRoller.roll(Seq(v1, e1))
-    vertices = v1r
-    edges = e1r
+    if (pureEdge) {
+      edges = edgeRoller.roll(Seq(e1)).head
+    } else {
+      vertices = vertexRoller.roll(Seq(v1)).head
+      edges = edgeRoller.roll(Seq(e1)).head
+      verticesDirty = true
+    }
     graphBatchesSinceCompact += 1
     if (graphBatchesSinceCompact >= stateCompactEvery || relabeled) {
-      vertices = vertices.localCheckpoint(true)
+      if (verticesDirty || relabeled) {
+        vertices = vertices.localCheckpoint(true)
+        verticesDirty = false
+      }
       edges = edges.localCheckpoint(true)
-      graphRoller.clear()
+      vertexRoller.clear()
+      edgeRoller.clear()
       graphBatchesSinceCompact = 0
     }
     val v1c = vertices
     val e1c = edges
+    tr("roll/compact")
 
     if (relabeled) {
       fullRecomputes += 1
@@ -241,7 +279,8 @@ final class MultiQueryDriver(spark: SparkSession,
 
     // ONE action: before/after candidate probe → the exact canonical delta
     // plus its labeled row slices, all collected (|Δ|-bounded)
-    val delta = Updates.edgeDeltaCollected(spark, e0, e1c, ops)
+    val delta = fastDelta.getOrElse(Updates.edgeDeltaCollected(spark, e0, e1c, ops))
+    tr("delta probe (action)")
     val nAdd = delta.added.size.toLong
     val nDel = delta.deleted.size.toLong
     if (nAdd == 0 && nDel == 0) {
@@ -268,6 +307,7 @@ final class MultiQueryDriver(spark: SparkSession,
             .select(lit("o").as("w"), col("id"), col("vlabel")))
       probe.collect()
     }
+    tr("label probe (action)")
     val newLabels = labelRows.filter(_.getString(0) == "n")
       .map(r => r.getLong(1) -> r.getInt(2)).toMap
     val oldLabels = labelRows.filter(_.getString(0) == "o")
@@ -333,6 +373,7 @@ final class MultiQueryDriver(spark: SparkSession,
           .select(ra("src"), ra("dst"), ra("elabel"), ra("slabel"), ra("dlabel"))
         (ra, rf, addRows)
       }
+    tr("routing+rel overlay")
     def commitRel(): Unit = {
       rel = relRoller.roll(Seq(relFinal)).head
       relBatchesSinceCompact += 1
@@ -359,8 +400,10 @@ final class MultiQueryDriver(spark: SparkSession,
             addedRelRows, deletedRelRows, hasAdds = nAdd > 0, hasDels = nDel > 0)
         }
       }
+      tr("applyDelta plans")
       if (aggs.nonEmpty) {
         val rows = aggs.reduce(_ unionByName _).collect()
+        tr("count action")
         val bySide = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         affected.foreach { name =>
           states(name).commitCounts(bySide.getOrElse((name, "pos"), 0L),
@@ -369,10 +412,12 @@ final class MultiQueryDriver(spark: SparkSession,
         }
       }
       commitRel()
+      tr("commit+counts")
       // every query's seed stage re-anchors on the committed rel (content is
       // unchanged for unaffected queries — routing guarantees it — but the
       // anchor keeps seed lineage at the maintained base, not the overlay)
       states.values.foreach(_.anchorSeed(rel))
+      tr("anchorSeed")
       return (affected.size, nAdd, nDel)
     }
 

@@ -587,6 +587,66 @@ object Updates {
       rowsOf("f", added), rowsOf("b", deleted))
   }
 
+  /** ONE-scan fast path for PURE-EDGE batches (every op is e/-e): probes
+    * `edges` once with the batch's canonical candidate keys broadcast and
+    * derives BOTH the collected delta (exact `edgeDeltaCollected`
+    * semantics) and the after-view (exact `applyBatchLabeledLocal` algebra:
+    * keep-existing adds by directed key, directed deletes) from the hit
+    * rows. The general composition streams E three times inside the delta
+    * probe action — the before scan, the after scan through the overlay,
+    * and the keep-existing `present` subquery's broadcast build — where one
+    * scan determines everything: the after side of every candidate key is
+    * driver-computable from the before hits plus the (driver-known) batch.
+    * Returns (afterView, delta); the view's delta sides are LocalRelations
+    * (zero further actions). */
+  def pureEdgeBatchLocal(spark: SparkSession, edges: DataFrame,
+                         ops: Seq[GraphUpdate]): (DataFrame, EdgeDeltaLocal) = {
+    import spark.implicits._
+    require(ops.forall(o => o.op == "e" || o.op == "-e"), "pure-edge batches only")
+    def canon(s: Long, d: Long): (Long, Long) = if (s < d) (s, d) else (d, s)
+    // flags come from the RAW ops (edgeDeltaCollected's candidate sets);
+    // the view algebra uses the COMPACTED ops (applyBatchLabeledLocal's)
+    val rawAddK = ops.filter(_.op == "e").map(u => canon(u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val rawDelK = ops.filter(_.op == "-e").map(u => canon(u.id1, u.id2))
+      .filter(k => k._1 != k._2).toSet
+    val e = edges.select(col("src"), col("dst"), col("elabel"))
+    if (rawAddK.isEmpty && rawDelK.isEmpty)
+      return (e, EdgeDeltaLocal(Nil, Nil, Nil, Nil))
+
+    val c = compactLocal(ops)
+    val addRows = c.filter(_.op == "e").map(u => (u.id1, u.id2, u.label))
+      .filter(t => t._1 != t._2)
+    val delDirected = c.filter(_.op == "-e").map(u => (u.id1, u.id2)).toSet
+
+    // the ONE probe action: E rows whose canonical key is a candidate
+    val keysDf = (rawAddK ++ rawDelK).toSeq.toDF("lo", "hi")
+    val hits = e.where(col("src") =!= col("dst"))
+      .join(broadcast(keysDf),
+        least(col("src"), col("dst")) === col("lo") &&
+          greatest(col("src"), col("dst")) === col("hi"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    val presentDirected = hits.map(t => (t._1, t._2)).toSet
+    val newRows = addRows.filterNot(t => presentDirected((t._1, t._2)))
+    // after-side candidate rows, driver-derived: surviving before hits plus
+    // the new adds (adds-then-deletes order, matching the view below)
+    val afterHits = (hits ++ newRows).filterNot(t => delDirected((t._1, t._2)))
+    def keysOf(rows: Seq[(Long, Long, Int)], flags: Set[(Long, Long)]) =
+      rows.iterator.map(t => canon(t._1, t._2)).filter(flags).toSet
+    val added = keysOf(afterHits, rawAddK) -- keysOf(hits, rawAddK)
+    val deleted = keysOf(hits, rawDelK) -- keysOf(afterHits, rawDelK)
+    val addedRows = afterHits.filter(t => added(canon(t._1, t._2)))
+    val deletedRows = hits.filter(t => deleted(canon(t._1, t._2)))
+
+    var e1 = if (newRows.isEmpty) e else e.union(newRows.toDF("src", "dst", "elabel"))
+    if (delDirected.nonEmpty)
+      e1 = e1.join(broadcast(delDirected.toSeq.toDF("src", "dst")),
+        Seq("src", "dst"), "left_anti")
+    (e1.select(col("src"), col("dst"), col("elabel")),
+      EdgeDeltaLocal(added.toSeq, deleted.toSeq, addedRows, deletedRows))
+  }
+
   /** Keys-only collected canonical delta for UNLABELED edge tables — the
     * `edgeDelta` derivation in one probe action, result collected. */
   def edgeDeltaKeysCollected(spark: SparkSession, before: DataFrame, after: DataFrame,

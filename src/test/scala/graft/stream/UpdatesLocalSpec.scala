@@ -127,6 +127,34 @@ class UpdatesLocalSpec extends SparkSpec {
     }
   }
 
+  test("pureEdgeBatchLocal equals the general composition (random pure-edge batches)") {
+    import spark.implicits._
+    (0 until 8).foreach { s =>
+      val (v0, e0) = baseGraph(s + 200, 10)
+      // pure-edge mix with dup adds, dels of absent edges, and canon twins
+      val rnd = new scala.util.Random(s + 200)
+      val ops = (1 to 40).map { i =>
+        val a = rnd.nextInt(10).toLong
+        val b = (rnd.nextInt(9) + 1 + a) % 10
+        if (rnd.nextInt(10) < 3) GraphUpdate(i.toLong, "-e", a, b, 0)
+        else GraphUpdate(i.toLong, "e", a, b, rnd.nextInt(3))
+      }
+      val (_, e1g) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+      val e1gc = e1g.localCheckpoint(true)
+      val general = Updates.edgeDeltaCollected(spark, e0, e1gc, ops)
+
+      val (e1f, fast) = Updates.pureEdgeBatchLocal(spark, e0, ops)
+      assert(e1f.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+        e1gc.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+        s"after view diverges at seed $s")
+      assert(fast.added.toSet == general.added.toSet, s"added keys diverge at seed $s")
+      assert(fast.deleted.toSet == general.deleted.toSet, s"deleted keys diverge at seed $s")
+      assert(fast.addedRows.toSet == general.addedRows.toSet, s"added rows diverge at seed $s")
+      assert(fast.deletedRows.toSet == general.deletedRows.toSet,
+        s"deleted rows diverge at seed $s")
+    }
+  }
+
   test("edgeDeltaCollected equals edgeDelta keys and slices (random)") {
     import spark.implicits._
     (0 until 6).foreach { s =>
