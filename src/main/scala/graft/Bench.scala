@@ -262,6 +262,24 @@ object Bench {
     val sRate = if (sSecs > 0) sUpd / sSecs else 0.0
     System.err.println(f"[bench] streaming $sUpd updates / $sBatches batches " +
       f"in $sSecs%.1fs = $sRate%.0f upd/s (safe=$sSafe%.2f)")
+    // Window-size variant (P7), ONE window over the same op volume: the
+    // reference replays its whole update file in one pass, so a single
+    // window is the closer protocol; it also shows the batch-amortization
+    // law directly — each batch pays ~8 full-relation scans regardless of
+    // |Δ|, so quadrupling the window ~quarters the scan count per op.
+    val (wUpd, _, wSecs, _) =
+      if (skipStreaming) (0L, 0, 0.0, 0.0)
+      else try {
+        graft.util.Limits.runWithTimeout(spark, "bench-streaming-1w", 900000L) {
+          streamingBench(spark, sfDir, batches = 1, opsPerBatch = 160000)
+        }.getOrElse((0L, 0, 0.0, 0.0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming 1-window failed: ${e.getMessage}")
+        (0L, 0, 0.0, 0.0)
+      }
+    val wRate = if (wSecs > 0) wUpd / wSecs else 0.0
+    System.err.println(f"[bench] streaming-1w $wUpd updates / 1 window " +
+      f"in $wSecs%.1fs = $wRate%.0f upd/s")
     spark.stop()
 
     // Scaling evidence, same input + same job at three parallelism levels,
@@ -308,7 +326,8 @@ object Bench {
       f""""efficiency":$eff%.3f,""" +
       f""""throughput_local32":${thr32}%.0f,"efficiency_8_to_32":$eff832%.3f}"""
     val streaming = f"""{"updates":$sUpd,"batches":$sBatches,"seconds":$sSecs%.1f,""" +
-      f""""updates_per_sec":$sRate%.0f,"safe_fraction":$sSafe%.3f,"mode":"sjtree-state"}"""
+      f""""updates_per_sec":$sRate%.0f,"safe_fraction":$sSafe%.3f,""" +
+      f""""one_window_updates_per_sec":$wRate%.0f,"mode":"sjtree-state"}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","scaling":$scaling%s,"streaming":$streaming%s}""")
   }
 }

@@ -402,7 +402,12 @@ final class MultiQueryDriver(spark: SparkSession,
       }
       tr("applyDelta plans")
       if (aggs.nonEmpty) {
-        val rows = aggs.reduce(_ unionByName _).collect()
+        // one exchange for every query's pos+neg counts: the tagged
+        // per-match rows union and a single (q, side) grouped count
+        // (map-side partial agg keeps the shuffled rows ≤ 2·N_queries)
+        val rows = aggs.reduce(_ unionByName _)
+          .groupBy(col("q"), col("side")).agg(count(lit(1)).as("c"))
+          .collect()
         tr("count action")
         val bySide = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         affected.foreach { name =>

@@ -178,9 +178,11 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     * its delta-sized slices for added / deleted edges (both orientations).
     * `hasAdds`/`hasDels` let a one-sided batch SKIP the other pass entirely
     * (an adds-only crawl batch pays zero delete-side scans and vice versa).
-    * Returns the computed sides as LAZY one-row (q, side, c) aggregates so
-    * the driver can union them across queries into ONE action; the caller
-    * MUST then feed the collected counts back through commitCounts()
+    * Returns the computed sides as LAZY (q, side)-tagged per-match-row
+    * frames: the driver unions them across ALL queries and runs ONE
+    * groupBy(q, side).count — one exchange and one final stage total,
+    * instead of a SinglePartition exchange per (query, side) branch; the
+    * caller MUST then feed the collected counts back through commitCounts()
     * (absent sides count 0). */
   def applyDelta(name: String, relNew: DataFrame, addedRel: DataFrame,
                  deletedRel: DataFrame, hasAdds: Boolean = true,
@@ -188,6 +190,7 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     require(stages.nonEmpty, "init() first")
     require(hasAdds || hasDels, "empty delta — skip applyDelta entirely")
     val k = order.size
+    SJTreeState.trStart()
 
     // All per-batch derivations stay LAZY — zero driver actions here (a
     // per-stage localCheckpoint, even a lazy one, posts a Dataset action
@@ -200,41 +203,66 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     // (measured: +3-4s per batch at sf0.1 until the compaction reset).
     // With it, each stage is a shallow chain of cached-delta overlays whose
     // depth the compaction cadence bounds.
+    // Seed deltas over LOCAL delta relations (the continuous driver builds
+    // addedRel/deletedRel as driver-side LocalRelations) are NOT persisted:
+    // re-evaluating a filter over driver-resident rows is free, every
+    // broadcast of them builds driver-locally (executeCollect of a
+    // LocalTableScan — no Spark job), while persist() costs an eager
+    // optimizer run at call time plus a cache-materialization job inside
+    // the count action. Only deltas embedding rel scans (stage >= 1) cache.
+    def isLocalPlan(df: DataFrame): Boolean =
+      df.queryExecution.logical.collectLeaves()
+        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+    // NOTE on the missing cols() re-selects: every frame below already has
+    // exactly boundAt(i)'s columns in boundAt(i)'s order — seed() selects
+    // them explicitly, step()'s extension branch selects prev :+ newV from
+    // boundAt, its closing branch and the USING anti-joins keep the left
+    // side's output order, and union/truncate/checkpoint preserve order —
+    // so a defensive re-select per term only buys an extra analyzer pass
+    // per op (measured: plan construction is a per-batch driver cost).
+
     // positive pass (prefix-new ∪ prefix-old-edge-new, disjoint)
     val (sA, posLast) =
-      if (!hasAdds) (stages.indices.map(i => cols(stages(i), i)).toVector, None)
+      if (!hasAdds) (stages.toVector, None)
       else {
-        var dPrev = seed(addedRel).persist(storage)
-        cached += dPrev
-        var acc = Vector(cols(stages(0), 0).unionByName(dPrev))
+        var dPrev = seed(addedRel)
+        if (k == 1 || !isLocalPlan(addedRel)) {
+          dPrev = dPrev.persist(storage); cached += dPrev
+        }
+        var acc = Vector(stages(0).unionByName(dPrev))
         (1 until k).foreach { i =>
-          val t1 = cols(step(i, dPrev, relNew, tinyLeft = true), i)
-          val t2 = cols(step(i, stages(i - 1), addedRel, tinyLeft = false), i)
+          val t1 = step(i, dPrev, relNew, tinyLeft = true)
+          val t2 = step(i, stages(i - 1), addedRel, tinyLeft = false)
           dPrev = t1.unionByName(t2).persist(storage)
           cached += dPrev
-          acc = acc :+ cols(stages(i), i).unionByName(dPrev)
+          acc = acc :+ stages(i).unionByName(dPrev)
         }
         (acc, Some(dPrev))
       }
+    SJTreeState.tr("pos pass")
 
     // negative pass over A (prefix-deleted ∪ clean-prefix-edge-deleted)
     val (negD, negLast) =
       if (!hasDels) (Vector.empty[DataFrame], None)
       else {
-        var nPrev = seed(deletedRel).persist(storage)
-        cached += nPrev
+        var nPrev = seed(deletedRel)
+        if (k == 1 || !isLocalPlan(deletedRel)) {
+          nPrev = nPrev.persist(storage); cached += nPrev
+        }
         var acc = Vector(nPrev)
         (1 until k).foreach { i =>
-          val t1 = cols(step(i, nPrev, relNew, tinyLeft = true), i)
+          val t1 = step(i, nPrev, relNew, tinyLeft = true)
           val clean = sA(i - 1).join(broadcast(acc(i - 1)),
             boundAt(i - 1), "left_anti")
-          val t2 = cols(step(i, clean, deletedRel, tinyLeft = false), i)
+          val t2 = step(i, clean, deletedRel, tinyLeft = false)
           nPrev = t1.unionByName(t2).persist(storage)
           cached += nPrev
           acc = acc :+ nPrev
         }
         (acc, Some(nPrev))
       }
+    SJTreeState.tr("neg pass")
 
     // New stages = (old ∪ Δ⁺) ∖ D. Each materialized stage (>= 1) is
     // TRUNCATED to a LogicalRDD leaf (plan → RDD → fresh Dataset, no job,
@@ -267,16 +295,17 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
         leaf
       }
     }.toVector
+    SJTreeState.tr("new stages")
     posLast.foreach { d => cached -= d; pinned += d }
     negLast.foreach { d => cached -= d; pinned += d }
     deltaGens.enqueue(cached.toSeq); cached.clear()
     rddGens.enqueue(newRdds.result())
     batchesSinceCompact += 1
 
-    posLast.map(_.agg(count(lit(1)).as("c"))
-        .select(lit(name).as("q"), lit("pos").as("side"), col("c"))).toSeq ++
-      negLast.map(_.agg(count(lit(1)).as("c"))
-        .select(lit(name).as("q"), lit("neg").as("side"), col("c"))).toSeq
+    val out = posLast.map(_.select(lit(name).as("q"), lit("pos").as("side"))).toSeq ++
+      negLast.map(_.select(lit(name).as("q"), lit("neg").as("side"))).toSeq
+    SJTreeState.tr("tag plans")
+    out
   }
 
   /** Commit the collected delta counts, then (on cadence) compact the stage
@@ -304,4 +333,17 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
 
   /** The maintained final-stage match relation (for tests / sinks). */
   def matches: DataFrame = stages.last
+}
+
+private[matching] object SJTreeState {
+  // sub-phase trace shared with MultiQueryDriver's GRAFT_BATCH_TRACE=1
+  val trace: Boolean = sys.env.get("GRAFT_BATCH_TRACE").contains("1")
+  private val t0 = new ThreadLocal[java.lang.Long] { override def initialValue = 0L }
+  def tr(phase: String): Unit = if (trace) {
+    val now = System.nanoTime()
+    if (t0.get != 0L)
+      System.err.println(f"    [sjtrace] $phase%-20s ${(now - t0.get) / 1e9}%6.3fs")
+    t0.set(now)
+  }
+  def trStart(): Unit = if (trace) t0.set(System.nanoTime())
 }
