@@ -405,9 +405,11 @@ final class MultiQueryDriver(spark: SparkSession,
         // one exchange for every query's pos+neg counts: the tagged
         // per-match rows union and a single (q, side) grouped count
         // (map-side partial agg keeps the shuffled rows ≤ 2·N_queries)
-        val rows = aggs.reduce(_ unionByName _)
+        val countPlan = aggs.reduce(_ unionByName _)
           .groupBy(col("q"), col("side")).agg(count(lit(1)).as("c"))
-          .collect()
+        if (sys.env.get("GRAFT_BATCH_EXPLAIN").contains("1") && batchesSeen <= 2)
+          countPlan.explain("formatted")
+        val rows = countPlan.collect()
         tr("count action")
         val bySide = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         affected.foreach { name =>

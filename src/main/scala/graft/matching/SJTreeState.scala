@@ -203,16 +203,13 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     // (measured: +3-4s per batch at sf0.1 until the compaction reset).
     // With it, each stage is a shallow chain of cached-delta overlays whose
     // depth the compaction cadence bounds.
-    // Seed deltas over LOCAL delta relations (the continuous driver builds
-    // addedRel/deletedRel as driver-side LocalRelations) are NOT persisted:
-    // re-evaluating a filter over driver-resident rows is free, every
-    // broadcast of them builds driver-locally (executeCollect of a
-    // LocalTableScan — no Spark job), while persist() costs an eager
-    // optimizer run at call time plus a cache-materialization job inside
-    // the count action. Only deltas embedding rel scans (stage >= 1) cache.
-    def isLocalPlan(df: DataFrame): Boolean =
-      df.queryExecution.logical.collectLeaves()
-        .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // Seed deltas ARE persisted even though they are filters over driver-
+    // local LocalRelations (recomputing one is free): without the
+    // InMemoryRelation barrier, Catalyst's ConvertToLocalRelation re-folds
+    // the pure-local subtree ON THE DRIVER (single-threaded, interpreted)
+    // at every optimization of every plan that references the seed —
+    // measured +15-30s per sf0.1 count action when the seeds were left
+    // lazy. The persist costs one tiny cache job; the barrier pays for it.
 
     // NOTE on the missing cols() re-selects: every frame below already has
     // exactly boundAt(i)'s columns in boundAt(i)'s order — seed() selects
@@ -226,10 +223,9 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     val (sA, posLast) =
       if (!hasAdds) (stages.toVector, None)
       else {
-        var dPrev = seed(addedRel)
-        if (k == 1 || !isLocalPlan(addedRel)) {
-          dPrev = dPrev.persist(storage); cached += dPrev
-        }
+        val dPrev0 = seed(addedRel).persist(storage)
+        cached += dPrev0
+        var dPrev = dPrev0
         var acc = Vector(stages(0).unionByName(dPrev))
         (1 until k).foreach { i =>
           val t1 = step(i, dPrev, relNew, tinyLeft = true)
@@ -246,10 +242,9 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     val (negD, negLast) =
       if (!hasDels) (Vector.empty[DataFrame], None)
       else {
-        var nPrev = seed(deletedRel)
-        if (k == 1 || !isLocalPlan(deletedRel)) {
-          nPrev = nPrev.persist(storage); cached += nPrev
-        }
+        val nPrev0 = seed(deletedRel).persist(storage)
+        cached += nPrev0
+        var nPrev = nPrev0
         var acc = Vector(nPrev)
         (1 until k).foreach { i =>
           val t1 = step(i, nPrev, relNew, tinyLeft = true)
