@@ -23,10 +23,17 @@ final class StreamMatcher(spark: SparkSession,
                           queries: Map[String, QueryGraph],
                           initialVertices: DataFrame, // (id, vlabel)
                           initialEdges: DataFrame,    // (src, dst, elabel)
-                          useCandidateIndex: Boolean = false) {
+                          useCandidateIndex: Boolean = false,
+                          materializeState: Boolean = false) {
+
+  // mode exclusivity mirrors MultiQueryDriver's own require: the index tier
+  // (J7/X2) and the materialized SJ-tree tier (J6) are alternative state
+  // models for the same maintained counts, never composed
+  require(!(useCandidateIndex && materializeState),
+    "useCandidateIndex and materializeState are mutually exclusive modes")
 
   val driver = new MultiQueryDriver(spark, queries, initialVertices,
-    initialEdges, useCandidateIndex)
+    initialEdges, useCandidateIndex, materializeState = materializeState)
 
   def counts: Map[String, Long] = driver.counts.toMap
 

@@ -6,10 +6,13 @@ import graft.matching.MatchFixtures.brute
 import graft.matching.QueryGraph
 
 /** Continuous subgraph matching over Structured Streaming: per-micro-batch
-  * maintained counts equal from-scratch recompute on the final state. */
+  * maintained counts equal from-scratch recompute on the final state, in
+  * every driver mode reachable from the streaming surface (plain delta,
+  * candidate-index F3/J7, materialized SJ-tree state J6). */
 class StreamMatcherSpec extends SparkSpec {
 
-  test("streamed CSM: maintained multi-query counts track the stream") {
+  private def scenario(mkMatcher: (Map[Long, Int], Set[(Long, Long, Int)],
+                                   Map[String, QueryGraph]) => StreamMatcher): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -19,8 +22,7 @@ class StreamMatcherSpec extends SparkSpec {
     val qs = Map(
       "path" -> QueryGraph.path(Seq(Some(0), Some(1), Some(2)), Seq(None, None)),
       "tri" -> QueryGraph.triangle)
-    val sm = new StreamMatcher(spark, qs,
-      verts0.toSeq.toDF("id", "vlabel"), edges0.toSeq.toDF("src", "dst", "elabel"))
+    val sm = mkMatcher(verts0, edges0, qs)
 
     val mem = MemoryStream[GraphUpdate]
     mem.addData(
@@ -41,5 +43,35 @@ class StreamMatcherSpec extends SparkSpec {
     val edges2 = edges1 - ((1L, 2L, 0))
     assert(sm.counts("path") == brute(qs("path"), verts1, edges2))
     assert(sm.counts("tri") == 0L)
+  }
+
+  test("streamed CSM: maintained multi-query counts track the stream") {
+    import spark.implicits._
+    scenario((v, e, qs) => new StreamMatcher(spark, qs,
+      v.toSeq.toDF("id", "vlabel"), e.toSeq.toDF("src", "dst", "elabel")))
+  }
+
+  test("streamed CSM: candidate-index mode tracks the stream") {
+    import spark.implicits._
+    scenario((v, e, qs) => new StreamMatcher(spark, qs,
+      v.toSeq.toDF("id", "vlabel"), e.toSeq.toDF("src", "dst", "elabel"),
+      useCandidateIndex = true))
+  }
+
+  test("streamed CSM: materialized SJ-tree state mode tracks the stream") {
+    import spark.implicits._
+    scenario((v, e, qs) => new StreamMatcher(spark, qs,
+      v.toSeq.toDF("id", "vlabel"), e.toSeq.toDF("src", "dst", "elabel"),
+      materializeState = true))
+  }
+
+  test("streamed CSM: index + state modes are mutually exclusive") {
+    import spark.implicits._
+    val v = Seq((0L, 0)).toDF("id", "vlabel")
+    val e = Seq((0L, 0L, 0)).toDF("src", "dst", "elabel").limit(0)
+    assertThrows[IllegalArgumentException] {
+      new StreamMatcher(spark, Map("t" -> QueryGraph.triangle), v, e,
+        useCandidateIndex = true, materializeState = true)
+    }
   }
 }
