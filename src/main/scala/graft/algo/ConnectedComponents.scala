@@ -91,7 +91,11 @@ final class ConnectedComponents(maxIter: Int = 50,
       // key = `label` (concentrates as components merge); build side is
       // unique-key. Salted once the distribution is provably concentrated.
       val ptr = state.select(col("id").as("lid"), col("label").as("plabel"))
-      val concentrated = approxLabels < rowsPrev / 4
+      // a hot label needs > hotLabelThreshold member rows, impossible when
+      // the whole state has fewer — skip the per-superstep hot probe (a
+      // full groupBy + checkpoint + count, 2 extra jobs) below that size:
+      // small/mid graphs pay zero probes, the 100 TB regime still probes
+      val concentrated = rowsPrev > hotLabelThreshold && approxLabels < rowsPrev / 4
       def plainJump(): DataFrame =
         cand.join(ptr, cand("label") === ptr("lid"), "left_outer")
           .select(col("id"), col("label"),
@@ -132,7 +136,9 @@ final class ConnectedComponents(maxIter: Int = 50,
         sum(when(col("newLabel") =!= col("label"), 1L).otherwise(0L)).as("changed"),
         count(lit(1)).as("rows"),
         approx_count_distinct(col("newLabel")).as("labels")).head()
-      changed = agg.getLong(0)
+      // sum() over zero rows is null: an EMPTY graph (e.g. a scoped delete
+      // recompute whose touched vertices all died) converges immediately
+      changed = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val rows = agg.getLong(1)
       approxLabels = agg.getLong(2)
       rowsPrev = rows

@@ -64,7 +64,14 @@ final class StreamGraph(spark: SparkSession,
     else new graft.algo.PageRank(tol = prTol).runOnPrepared(spark, prPrepared)
       .state.localCheckpoint(true)
   @volatile var prIterations: Seq[Int] = Seq.empty
+  @volatile var prIterationsSum: Long = 0L
   @volatile var prRebuilds: Long = 0L
+  /** Driver-maintained UPPER BOUND on the PageRank patch's row count: each
+    * batch adds ≤ |addD|+|delD| distinct keys and compaction only shrinks.
+    * Using the bound for the rebuild threshold is conservative (rebuild at
+    * worst slightly early, never late) and saves the per-batch count job the
+    * old exact probe paid — the tier's 4-actions-per-batch discipline. */
+  @volatile private var prPatchBound: Long = 0L
   @volatile var ccState: DataFrame =
     new graft.algo.ConnectedComponents(maxIter = 60)
       .run(spark, edges, vertices).state.localCheckpoint(true)
@@ -77,6 +84,21 @@ final class StreamGraph(spark: SparkSession,
     else -1L
   @volatile var trianglePositive: Long = 0L // G2 counters
   @volatile var triangleNegative: Long = 0L
+
+  /** Observability for the component-scoped delete path: vertex count of the
+    * subgraph the last delete-bearing batch actually recomputed (-1 = no
+    * scoped recompute yet), and how many delete batches took the scoped vs
+    * the full path. Tests pin that a delete in a small component recomputes
+    * only that component, never the giant one. */
+  @volatile var lastCcScopeVertices: Long = -1L
+  @volatile var ccScopedRecomputes: Long = 0L
+  @volatile var ccFullRecomputes: Long = 0L
+  /** Per-superstep metrics of the last batch's CC refresh — row counts prove
+    * the scoped path iterated over the touched components only. */
+  @volatile var lastCcMetrics: Seq[graft.algo.SuperstepMetrics] = Seq.empty
+  /** Scope sizes above this take the full recompute: a near-full scope's
+    * semi-joins would broadcast a huge id set for no savings. */
+  var ccScopeBroadcastLimit: Long = 2000000L
 
   /** Attach to a streaming Dataset[GraphUpdate]; every micro-batch runs the
     * classify → apply → (maybe) recompute protocol. */
@@ -100,6 +122,60 @@ final class StreamGraph(spark: SparkSession,
     * persisted leaves (StateRoller) instead of per-batch full checkpoints. */
   def applyLocal(ops: Seq[GraphUpdate]): Unit =
     graft.util.BatchConf.withStaticPlan(spark)(applyLocalImpl(ops))
+
+  /** Delete-bearing batches: recompute connected components ONLY inside the
+    * components that could change — those containing an endpoint of any edge
+    * op or the id of any vertex op in the batch. Every other component kept
+    * its exact edge set (nothing incident was added or removed — an old edge
+    * never crosses old components, and a new edge's endpoints are touched,
+    * hence affected), so its rows — label = component-min id — carry over
+    * verbatim, and kept ∪ scoped-result equals the from-scratch labeling.
+    *
+    * Cost: one |Δ|-bounded touched-label probe, one scope materialization +
+    * count, two broadcast semi-join scans (V, E — single pass each, no
+    * shuffle), then the O(log|scope|) CC loop over the SCOPED subgraph —
+    * per-batch work proportional to the touched components instead of the
+    * old O(|E|·log|V|) whole-graph recompute (the reference also recomputes
+    * from scratch on any unsafe batch, ParaCOSM/Stream/main.cpp:301-313).
+    * When the scope outgrows the broadcast limit the full recompute runs
+    * instead (scoped ≈ full there, and a huge broadcast would only hurt). */
+  private def scopedCcDelete(ops: Seq[GraphUpdate]): AlgoResult = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val touched = ops.flatMap(u =>
+      if (u.op == "e" || u.op == "-e") Seq(u.id1, u.id2) else Seq(u.id1)).distinct
+    // old labels of the touched ids (|Δ|-bounded collect); touched ids with
+    // no old row are this batch's new vertices — scope seeds of their own
+    val tRows = ccState
+      .join(broadcast(touched.toDF("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("label")).collect()
+    val affected = tRows.map(_.getLong(1)).distinct.toSeq
+    val newIds = (touched.toSet -- tRows.map(_.getLong(0))).toSeq
+    val affDf = broadcast(affected.toDF("label"))
+    val scopeIds = ccState.join(affDf, Seq("label"), "left_semi").select(col("id"))
+      .union(newIds.toDF("id"))
+      .localCheckpoint(true)
+    val scopeN = scopeIds.count()
+    lastCcScopeVertices = scopeN
+    if (scopeN > ccScopeBroadcastLimit) {
+      ccFullRecomputes += 1
+      scopeIds.unpersist(false)
+      new graft.algo.ConnectedComponents(maxIter = 60).run(spark, edges, vertices)
+    } else {
+      ccScopedRecomputes += 1
+      val subV = vertices.join(broadcast(scopeIds), Seq("id"), "left_semi")
+      val subE = edges.join(
+        broadcast(scopeIds.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      val sub = new graft.algo.ConnectedComponents(maxIter = 60).run(spark, subE, subV)
+      val kept = ccState.join(affDf, Seq("label"), "left_anti")
+        .select(col("id"), col("label"))
+      val merged = kept.union(sub.state.select(col("id"), col("label")))
+        .localCheckpoint(true)
+      sub.state.unpersist(false)
+      scopeIds.unpersist(false)
+      AlgoResult(merged, sub.iterations, sub.metrics)
+    }
+  }
 
   private def applyLocalImpl(ops: Seq[GraphUpdate]): Unit = {
     import spark.implicits._
@@ -145,9 +221,10 @@ final class StreamGraph(spark: SparkSession,
             .withColumn("label", col("id")))
         cc.runFrom(spark, edges, vertices, warmInit)
       } else {
-        new graft.algo.ConnectedComponents(maxIter = 60).run(spark, edges, vertices)
+        scopedCcDelete(ops)
       }
     ccState = res.state.localCheckpoint(true)
+    lastCcMetrics = res.metrics
     totalSafe += nSafe
     totalUnsafe += nUnsafe
     batchesSeen += 1
@@ -192,16 +269,23 @@ final class StreamGraph(spark: SparkSession,
       prPrepared = graft.algo.PageRank.updatePrepared(
         spark, prPrepared, addD.toDF("src", "dst"), delD.toDF("src", "dst"),
         newIds, delIds)
-      val patchRows = prPrepared.patch.map(_.count()).getOrElse(0L)
-      if (patchRows > patchLimit) {
+      // rebuild decision from the driver-maintained patch-size BOUND — the
+      // exact post-compaction row count isn't worth a per-batch count job
+      // (the old probe was the protocol's one action the tier didn't need)
+      prPatchBound += addD.size + delD.size
+      if (prPatchBound > patchLimit) {
         prPrepared = graft.algo.PageRank.prepare(spark, edges, vertices)
         prBaseEdges = prPrepared.adj.count()
         prRebuilds += 1
+        prPatchBound = 0L
       }
       val prRes = new graft.algo.PageRank(tol = prTol)
         .runFromPrepared(spark, prPrepared, prRanks)
       prRanks = prRes.state.localCheckpoint(true)
-      prIterations = prIterations :+ prRes.iterations
+      prIterationsSum += prRes.iterations
+      // bounded history (long streams): the sum above keeps the average
+      // derivable after the per-batch list stops growing
+      if (prIterations.size < 1024) prIterations = prIterations :+ prRes.iterations
     }
   }
 }
