@@ -89,6 +89,19 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
   /** Maintained |S_k| (G1's counter). */
   var matchCount: Long = -1L
 
+  /** Stage-size funnel (G3 applied to the STORED state): row count per
+    * materialized stage, refreshed at every compaction from the just-
+    * checkpointed stages in ONE union-count job (stage 0 is a filter view
+    * over the maintained relation, not stored state — excluded). A stage
+    * above `stageWarnThreshold` logs loudly and bumps `stageWarnings`: the
+    * SJ-tree's documented memory hazard (a low-selectivity prefix inflating
+    * an interior relation, reference README's intermediate-result blowup)
+    * must never grow silently — the repo's no-silent-caps discipline. */
+  @volatile var lastStageSizes: Seq[(Int, Long)] = Seq.empty
+  var stageWarnThreshold: Long = 10000000L
+  @volatile var stageWarnings: Long = 0L
+  private var lastName: String = query.toString.take(40)
+
   /** Stage-filtered relation side for edge index i, oriented (known → src). */
   private def relSideFor(i: Int, rel: DataFrame): DataFrame = {
     val e = order(i)
@@ -189,6 +202,7 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
                  hasDels: Boolean = true): Seq[DataFrame] = {
     require(stages.nonEmpty, "init() first")
     require(hasAdds || hasDels, "empty delta — skip applyDelta entirely")
+    lastName = name
     val k = order.size
     SJTreeState.trStart()
 
@@ -318,6 +332,23 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
       }
       releaseAll()
       batchesSinceCompact = 0
+      // stage-size funnel: one union-count job over the just-checkpointed
+      // stages (in-memory scans; amortized 1/compactEvery per batch)
+      val stored = stages.zipWithIndex.drop(1) // empty for single-edge queries
+      val sizes =
+        if (stored.isEmpty) Seq.empty[(Int, Long)]
+        else stored.map { case (s, i) =>
+          s.groupBy().agg(count(lit(1)).as("n")).select(lit(i).as("stage"), col("n"))
+        }.reduce(_ unionByName _).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+      lastStageSizes = sizes
+      sizes.filter(_._2 > stageWarnThreshold).foreach { case (i, n) =>
+        stageWarnings += 1
+        System.err.println(s"[sjtree] WARN query=$lastName stage=$i rows=$n " +
+          s"> threshold=$stageWarnThreshold — low-selectivity prefix is " +
+          "inflating stored state; consider a different order or " +
+          "materializeState=false for this query")
+      }
     } else {
       // rolling release: keep the newest delta generation (feeding the
       // just-built stage RDDs) and the newest two stage-RDD generations
