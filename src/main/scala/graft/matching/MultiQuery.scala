@@ -280,7 +280,10 @@ final class MultiQueryDriver(spark: SparkSession,
     // ONE action: before/after candidate probe → the exact canonical delta
     // plus its labeled row slices, all collected (|Δ|-bounded)
     val delta = fastDelta.getOrElse(Updates.edgeDeltaCollected(spark, e0, e1c, ops))
-    tr("delta probe (action)")
+    // when the pure-edge fast path already produced the delta, the probe ran
+    // inside "applyBatch views (+probe)" — label this phase honestly so
+    // GRAFT_BATCH_TRACE profiles don't attribute ~0s to a phantom action
+    tr(if (fastDelta.isDefined) "delta (reused from probe)" else "delta probe (action)")
     val nAdd = delta.added.size.toLong
     val nDel = delta.deleted.size.toLong
     if (nAdd == 0 && nDel == 0) {

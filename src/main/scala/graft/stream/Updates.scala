@@ -611,8 +611,20 @@ object Updates {
     val rawDelK = ops.filter(_.op == "-e").map(u => canon(u.id1, u.id2))
       .filter(k => k._1 != k._2).toSet
     val e = edges.select(col("src"), col("dst"), col("elabel"))
-    if (rawAddK.isEmpty && rawDelK.isEmpty)
-      return (e, EdgeDeltaLocal(Nil, Nil, Nil, Nil))
+    if (rawAddK.isEmpty && rawDelK.isEmpty) {
+      // batch held only SELF-LOOP ops: no canonical delta (self-loops never
+      // participate in matching), but applyBatchLabeledLocal applies the
+      // compacted -e keys UNFILTERED — a '-e a a' must still delete a
+      // pre-existing self-loop row from E (self-loop adds are dropped there
+      // too, so only the delete side can act)
+      val delSelf = compactLocal(ops).filter(_.op == "-e")
+        .map(u => (u.id1, u.id2)).filter(t => t._1 == t._2)
+      val e1 =
+        if (delSelf.isEmpty) e
+        else e.join(broadcast(delSelf.toDF("src", "dst")),
+          Seq("src", "dst"), "left_anti")
+      return (e1, EdgeDeltaLocal(Nil, Nil, Nil, Nil))
+    }
 
     val c = compactLocal(ops)
     val addRows = c.filter(_.op == "e").map(u => (u.id1, u.id2, u.label))

@@ -11,10 +11,19 @@ import org.apache.spark.sql.SparkSession
   * unioned count plan's branches and add a fixed driver round-trip per
   * stage (profiled at 40k-op batches on sf0.1: min action-sum 15.4s with
   * AQE on vs 5.8s off; the 126-node union plan builds ~50 query stages).
-  * The session keeps AQE on for ad-hoc queries (Bench/Verify set it);
-  * batch application pins it OFF for the duration of one batch and
-  * restores the caller's setting after — the same split BASELINE.md
-  * documents for the iterative superstep kernel.
+  * Batch application pins it OFF for the duration of one batch and
+  * restores the caller's setting after.
+  *
+  * CONCURRENCY CONTRACT: the pin mutates session-global SQLConf, so it
+  * assumes the session is driven by ONE thread while a batch is in flight —
+  * an ad-hoc query planned concurrently in the same session during a batch
+  * would lose AQE for that window, and a Limits.runWithTimeout cancellation
+  * can leave the worker thread's deferred restore racing a subsequent pin.
+  * The continuous tier's drivers (MultiQueryDriver, StreamGraph) are
+  * single-threaded per session by construction, which is why the pin is a
+  * conf flip and not a cloned session; callers that need concurrent ad-hoc
+  * work during batches should hand the driver `spark.newSession()` (shared
+  * context and state, independent SQLConf) instead.
   */
 object BatchConf {
 

@@ -155,6 +155,42 @@ class UpdatesLocalSpec extends SparkSpec {
     }
   }
 
+  test("pureEdgeBatchLocal applies self-loop deletes (incl. self-loop-only batches)") {
+    import spark.implicits._
+    val v0 = (0L to 5L).map(i => (i, (i % 3).toInt)).toDF("id", "vlabel")
+      .localCheckpoint(true)
+    // base WITH pre-existing self-loop rows (the maintained algebra never
+    // creates them, but an initialEdges table may carry them)
+    val e0 = Seq((0L, 1L, 0), (1L, 2L, 1), (2L, 2L, 2), (3L, 3L, 0), (4L, 5L, 1))
+      .toDF("src", "dst", "elabel").localCheckpoint(true)
+
+    def parity(ops: Seq[GraphUpdate], tag: String): Unit = {
+      val (_, e1g) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
+      val e1gc = e1g.localCheckpoint(true)
+      val general = Updates.edgeDeltaCollected(spark, e0, e1gc, ops)
+      val (e1f, fast) = Updates.pureEdgeBatchLocal(spark, e0, ops)
+      assert(e1f.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+        e1gc.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+        s"$tag: after view diverges")
+      assert(fast.added.toSet == general.added.toSet, s"$tag: added keys diverge")
+      assert(fast.deleted.toSet == general.deleted.toSet, s"$tag: deleted keys diverge")
+    }
+
+    // ONLY self-loop ops — hits the empty-candidate early return: the '-e 2 2'
+    // must still delete the pre-existing loop row, the 'e 4 4' is dropped
+    parity(Seq(GraphUpdate(1, "-e", 2L, 2L, 0), GraphUpdate(2, "e", 4L, 4L, 2)),
+      "self-loop-only")
+    // mixed: normal ops plus a self-loop delete and a self-loop add
+    parity(Seq(GraphUpdate(1, "e", 0L, 2L, 1), GraphUpdate(2, "-e", 3L, 3L, 0),
+      GraphUpdate(3, "-e", 0L, 1L, 0), GraphUpdate(4, "e", 5L, 5L, 1)), "mixed")
+    // add-then-delete and delete-then-add on the same self-loop key compact
+    // to the last op, like the labeled path
+    parity(Seq(GraphUpdate(1, "e", 2L, 2L, 1), GraphUpdate(2, "-e", 2L, 2L, 0)),
+      "add-then-del")
+    parity(Seq(GraphUpdate(1, "-e", 3L, 3L, 0), GraphUpdate(2, "e", 3L, 3L, 1)),
+      "del-then-add")
+  }
+
   test("edgeDeltaCollected equals edgeDelta keys and slices (random)") {
     import spark.implicits._
     (0 until 6).foreach { s =>
