@@ -290,10 +290,10 @@ final class MultiQueryDriver(spark: SparkSession,
       searchesSkipped += queries.size
       return (0, 0L, 0L)
     }
-    val addedK = delta.added.toDF("lo", "hi")
-    val deletedK = delta.deleted.toDF("lo", "hi")
-    val addedLabeled = delta.addedRows.toDF("src", "dst", "elabel")
-    val deletedLabeled = delta.deletedRows.toDF("src", "dst", "elabel")
+    val addedK = graft.util.DeltaDF.of(spark, delta.added, "lo", "hi")
+    val deletedK = graft.util.DeltaDF.of(spark, delta.deleted, "lo", "hi")
+    val addedLabeled = graft.util.DeltaDF.of(spark, delta.addedRows, "src", "dst", "elabel")
+    val deletedLabeled = graft.util.DeltaDF.of(spark, delta.deletedRows, "src", "dst", "elabel")
 
     // Endpoint labels, ONE probe action: v1 labels for every delta endpoint
     // plus v0 ghost labels for the batch's -v ids (vUnion semantics: deleted
@@ -302,7 +302,8 @@ final class MultiQueryDriver(spark: SparkSession,
     val endpointIds = (delta.addedRows ++ delta.deletedRows)
       .flatMap(r => Seq(r._1, r._2)).distinct
     val labelRows = {
-      val probeNew = v1c.join(broadcast(endpointIds.toDF("id")), Seq("id"), "left_semi")
+      val probeNew = v1c.join(broadcast(
+        graft.util.DeltaDF.of(spark, endpointIds.map(Tuple1(_)), "id")), Seq("id"), "left_semi")
         .select(lit("n").as("w"), col("id"), col("vlabel"))
       val probe = if (vDelIds.isEmpty) probeNew
         else probeNew.unionByName(
@@ -366,8 +367,8 @@ final class MultiQueryDriver(spark: SparkSession,
     val (relAfterAdds, relFinal, addedRelRows) =
       if (!maintainRel) (null: DataFrame, null: DataFrame, null: DataFrame)
       else {
-        val addRows = relRowsLocal(delta.addedRows)
-          .toDF("src", "dst", "elabel", "slabel", "dlabel")
+        val addRows = graft.util.DeltaDF.of(spark, relRowsLocal(delta.addedRows),
+          "src", "dst", "elabel", "slabel", "dlabel")
         val ra = rel.union(addRows)
         val delK = deletedK
         val rf = ra.join(broadcast(delK),
@@ -393,8 +394,8 @@ final class MultiQueryDriver(spark: SparkSession,
       // are driver-built (the maintained rel's label copies are immutable —
       // relabels route to the rebuild path above — so current labels ARE
       // the stored labels).
-      val deletedRelRows = relRowsLocal(delta.deletedRows)
-        .toDF("src", "dst", "elabel", "slabel", "dlabel")
+      val deletedRelRows = graft.util.DeltaDF.of(spark, relRowsLocal(delta.deletedRows),
+        "src", "dst", "elabel", "slabel", "dlabel")
       val aggs = queries.toSeq.sortBy(_._1).flatMap { case (name, _) =>
         if (!affected(name)) { searchesSkipped += 1; Seq.empty }
         else {

@@ -237,14 +237,22 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     val (sA, posLast) =
       if (!hasAdds) (stages.toVector, None)
       else {
-        val dPrev0 = seed(addedRel).persist(storage)
-        cached += dPrev0
-        var dPrev = dPrev0
+        val dPrev0 = seed(addedRel)
+        SJTreeState.tr("pos seed build")
+        val dPrev0p = dPrev0.persist(storage)
+        SJTreeState.tr("pos seed persist")
+        cached += dPrev0p
+        var dPrev = dPrev0p
         var acc = Vector(stages(0).unionByName(dPrev))
         (1 until k).foreach { i =>
           val t1 = step(i, dPrev, relNew, tinyLeft = true)
+          SJTreeState.tr(s"pos t1 [$i]")
           val t2 = step(i, stages(i - 1), addedRel, tinyLeft = false)
-          dPrev = t1.unionByName(t2).persist(storage)
+          SJTreeState.tr(s"pos t2 [$i]")
+          val u = t1.unionByName(t2)
+          SJTreeState.tr(s"pos union [$i]")
+          dPrev = u.persist(storage)
+          SJTreeState.tr(s"pos persist [$i]")
           cached += dPrev
           acc = acc :+ stages(i).unionByName(dPrev)
         }

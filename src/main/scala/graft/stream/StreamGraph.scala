@@ -147,7 +147,8 @@ final class StreamGraph(spark: SparkSession,
     // old labels of the touched ids (|Δ|-bounded collect); touched ids with
     // no old row are this batch's new vertices — scope seeds of their own
     val tRows = ccState
-      .join(broadcast(touched.toDF("id")), Seq("id"), "left_semi")
+      .join(broadcast(graft.util.DeltaDF.of(spark, touched.map(Tuple1(_)), "id")),
+        Seq("id"), "left_semi")
       .select(col("id"), col("label")).collect()
     val affected = tRows.map(_.getLong(1)).distinct.toSeq
     val newIds = (touched.toSet -- tRows.map(_.getLong(0))).toSeq
@@ -189,7 +190,8 @@ final class StreamGraph(spark: SparkSession,
     val lbl: Map[Long, Long] =
       if (eIds.isEmpty) Map.empty
       else ccState.join(
-          org.apache.spark.sql.functions.broadcast(eIds.toDF("id")), Seq("id"), "left_semi")
+          org.apache.spark.sql.functions.broadcast(
+            graft.util.DeltaDF.of(spark, eIds.map(Tuple1(_)), "id")), Seq("id"), "left_semi")
         .select(col("id"), col("label")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nSafe = ops.count(u => u.op == "v" ||
@@ -239,10 +241,12 @@ final class StreamGraph(spark: SparkSession,
       // overlap (one is ⊆ e1-only, the other ⊆ e0-only)
       val pos =
         if (addK.isEmpty) 0L
-        else graft.matching.DeltaTriangles.countTouching(spark, edges, addK.toDF("src", "dst"))
+        else graft.matching.DeltaTriangles.countTouching(spark, edges,
+          graft.util.DeltaDF.of(spark, addK, "src", "dst"))
       val neg =
         if (delK.isEmpty) 0L
-        else graft.matching.DeltaTriangles.countTouching(spark, e0, delK.toDF("src", "dst"))
+        else graft.matching.DeltaTriangles.countTouching(spark, e0,
+          graft.util.DeltaDF.of(spark, delK, "src", "dst"))
       trianglePositive += pos
       triangleNegative += neg
       triangleCount += pos - neg
@@ -267,7 +271,8 @@ final class StreamGraph(spark: SparkSession,
           ((inNew -- inPrev).toSeq, (inPrev -- inNew).toSeq)
         }
       prPrepared = graft.algo.PageRank.updatePrepared(
-        spark, prPrepared, addD.toDF("src", "dst"), delD.toDF("src", "dst"),
+        spark, prPrepared, graft.util.DeltaDF.of(spark, addD, "src", "dst"),
+        graft.util.DeltaDF.of(spark, delD, "src", "dst"),
         newIds, delIds)
       // rebuild decision from the driver-maintained patch-size BOUND — the
       // exact post-compaction row count isn't worth a per-batch count job

@@ -435,8 +435,8 @@ object Updates {
       val eDels = c.filter(_.op == "-e").map(u => (u.id1, u.id2))
 
       if (vAdds.nonEmpty || vDels.nonEmpty) {
-        val vAddDf = vAdds.toDF("id", "vlabel")
-        val vDelDf = vDels.toDF("id")
+        val vAddDf = graft.util.DeltaDF.of(spark, vAdds, "id", "vlabel")
+        val vDelDf = graft.util.DeltaDF.of(spark, vDels.map(Tuple1(_)), "id")
         var v1 = v
         if (vAdds.nonEmpty)
           v1 = v1.join(broadcast(vAddDf.select(col("id"))), Seq("id"), "left_anti")
@@ -448,7 +448,8 @@ object Updates {
       if (eAdds.nonEmpty || eDels.nonEmpty || vDels.nonEmpty) {
         var e1 = e
         if (eAdds.nonEmpty) {
-          val eAddDf = eAdds.filter(t => t._1 != t._2).toDF("src", "dst", "elabel")
+          val eAddDf = graft.util.DeltaDF.of(spark,
+            eAdds.filter(t => t._1 != t._2), "src", "dst", "elabel")
           // keep-existing-on-duplicate, broadcast-only: a LeftAnti with the
           // BIG table on the right cannot broadcast-build (BuildRight only),
           // so "adds not already present" is derived through a delta-sized
@@ -461,9 +462,10 @@ object Updates {
             Seq("src", "dst"), "left_anti"))
         }
         if (eDels.nonEmpty)
-          e1 = e1.join(broadcast(eDels.toDF("src", "dst")), Seq("src", "dst"), "left_anti")
+          e1 = e1.join(broadcast(graft.util.DeltaDF.of(spark, eDels, "src", "dst")),
+            Seq("src", "dst"), "left_anti")
         if (vDels.nonEmpty) {
-          val vDelDf = vDels.toDF("id")
+          val vDelDf = graft.util.DeltaDF.of(spark, vDels.map(Tuple1(_)), "id")
           e1 = e1
             .join(broadcast(vDelDf.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
             .join(broadcast(vDelDf.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
@@ -501,24 +503,26 @@ object Updates {
       if (vAdds.nonEmpty || vDels.nonEmpty) {
         var v1 = v
         if (vAdds.nonEmpty) {
-          val vAddDf = vAdds.toDF("id")
+          val vAddDf = graft.util.DeltaDF.of(spark, vAdds.map(Tuple1(_)), "id")
           v1 = v1.join(broadcast(vAddDf), Seq("id"), "left_anti").union(vAddDf)
         }
         if (vDels.nonEmpty)
-          v1 = v1.join(broadcast(vDels.toDF("id")), Seq("id"), "left_anti")
+          v1 = v1.join(broadcast(
+            graft.util.DeltaDF.of(spark, vDels.map(Tuple1(_)), "id")), Seq("id"), "left_anti")
         v = v1
       }
       if (eAdds.nonEmpty || eDels.nonEmpty || vDels.nonEmpty) {
         var e1 = e
         if (eAdds.nonEmpty) {
-          val eAddDf = eAdds.toDF("src", "dst")
+          val eAddDf = graft.util.DeltaDF.of(spark, eAdds, "src", "dst")
           e1 = e1.join(broadcast(eAddDf), Seq("src", "dst"), "left_anti")
             .union(eAddDf)
         }
         if (eDels.nonEmpty)
-          e1 = e1.join(broadcast(eDels.toDF("src", "dst")), Seq("src", "dst"), "left_anti")
+          e1 = e1.join(broadcast(graft.util.DeltaDF.of(spark, eDels, "src", "dst")),
+            Seq("src", "dst"), "left_anti")
         if (vDels.nonEmpty) {
-          val vDelDf = vDels.toDF("id")
+          val vDelDf = graft.util.DeltaDF.of(spark, vDels.map(Tuple1(_)), "id")
           e1 = e1
             .join(broadcast(vDelDf.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
             .join(broadcast(vDelDf.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
@@ -554,9 +558,10 @@ object Updates {
     if (eAddKeys.isEmpty && eDelKeys.isEmpty && vDelIds.isEmpty)
       return EdgeDeltaLocal(Nil, Nil, Nil, Nil)
 
-    val keysDf = (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
-        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true)))
-      .toSeq.toDF("lo", "hi", "kA", "kD")
+    val keysDf = graft.util.DeltaDF.of(spark,
+      (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
+        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true))).toSeq,
+      "lo", "hi", "kA", "kD")
     def probe(t: DataFrame, side: String): DataFrame = {
       val s = t.select(col("src"), col("dst"), col("elabel"),
           least(col("src"), col("dst")).as("lo"),
@@ -632,7 +637,7 @@ object Updates {
     val delDirected = c.filter(_.op == "-e").map(u => (u.id1, u.id2)).toSet
 
     // the ONE probe action: E rows whose canonical key is a candidate
-    val keysDf = (rawAddK ++ rawDelK).toSeq.toDF("lo", "hi")
+    val keysDf = graft.util.DeltaDF.of(spark, (rawAddK ++ rawDelK).toSeq, "lo", "hi")
     val hits = e.where(col("src") =!= col("dst"))
       .join(broadcast(keysDf),
         least(col("src"), col("dst")) === col("lo") &&
@@ -651,9 +656,11 @@ object Updates {
     val addedRows = afterHits.filter(t => added(canon(t._1, t._2)))
     val deletedRows = hits.filter(t => deleted(canon(t._1, t._2)))
 
-    var e1 = if (newRows.isEmpty) e else e.union(newRows.toDF("src", "dst", "elabel"))
+    var e1 = if (newRows.isEmpty) e
+      else e.union(graft.util.DeltaDF.of(spark, newRows, "src", "dst", "elabel"))
     if (delDirected.nonEmpty)
-      e1 = e1.join(broadcast(delDirected.toSeq.toDF("src", "dst")),
+      e1 = e1.join(broadcast(
+          graft.util.DeltaDF.of(spark, delDirected.toSeq, "src", "dst")),
         Seq("src", "dst"), "left_anti")
     (e1.select(col("src"), col("dst"), col("elabel")),
       EdgeDeltaLocal(added.toSeq, deleted.toSeq, addedRows, deletedRows))
@@ -685,9 +692,10 @@ object Updates {
     val vDelIds = ops.filter(_.op == "-v").map(_.id1).toSet
     if (eAddKeys.isEmpty && eDelKeys.isEmpty && vDelIds.isEmpty)
       return (Nil, Nil)
-    val keysDf = (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
-        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true)))
-      .toSeq.toDF("src", "dst", "kA", "kD")
+    val keysDf = graft.util.DeltaDF.of(spark,
+      (eAddKeys.map(k => (k._1, k._2, true, eDelKeys(k))) ++
+        (eDelKeys -- eAddKeys).map(k => (k._1, k._2, false, true))).toSeq,
+      "src", "dst", "kA", "kD")
     def probe(t: DataFrame, side: String): DataFrame = {
       val s = t.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
       val incident =

@@ -28,15 +28,39 @@ import org.apache.spark.sql.SparkSession
 object BatchConf {
 
   private val Key = "spark.sql.adaptive.enabled"
+  private val ExcludeKey = "spark.sql.optimizer.excludedRules"
+  private val LocalFold =
+    "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
 
-  /** Run `f` with adaptive query execution disabled, restoring the
-    * session's previous setting afterwards. Reentrant-safe: nested calls
-    * just re-pin the same value. */
+  /** Run `f` with adaptive query execution disabled AND
+    * ConvertToLocalRelation excluded, restoring the session's previous
+    * settings afterwards. Reentrant-safe: nested calls re-pin the same
+    * values.
+    *
+    * Why exclude ConvertToLocalRelation: the continuous tier's per-batch
+    * plans embed |Δ|-sized LocalRelations (the collected delta's labeled
+    * row slices), and every Project/Filter over one gets folded ON THE
+    * DRIVER, single-threaded, with interpreted expressions, at every
+    * optimization of every referencing plan — jstack samples during the
+    * one-window sf0.1 bench put the driver inside
+    * ConvertToLocalRelation/InterpretedMutableProjection for most of the
+    * 3.6s 'applyDelta plans' phase. Excluded, those subtrees run as
+    * LocalTableScan + codegen'd Filter inside the single count job, in
+    * parallel, exactly once. */
   def withStaticPlan[T](spark: SparkSession)(f: => T): T =
     if (sys.env.get("GRAFT_KEEP_AQE").contains("1")) f
     else {
       val prev = spark.conf.get(Key, "true")
+      val prevEx = spark.conf.get(ExcludeKey, "")
       spark.conf.set(Key, "false")
-      try f finally spark.conf.set(Key, prev)
+      spark.conf.set(ExcludeKey,
+        if (prevEx.isEmpty) LocalFold
+        else if (prevEx.contains(LocalFold)) prevEx
+        else s"$prevEx,$LocalFold")
+      try f finally {
+        spark.conf.set(Key, prev)
+        if (prevEx.isEmpty) spark.conf.unset(ExcludeKey)
+        else spark.conf.set(ExcludeKey, prevEx)
+      }
     }
 }
