@@ -233,7 +233,9 @@ object Bench {
     java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
     val ups = graft.graph.TextGraph.loadUpdates(spark, tmp.toString)
       .collect().sortBy(_.seq)
-    val slices = ups.grouped(math.max(1, ups.length / batches)).toSeq
+    // ceil so the op count yields EXACTLY `batches` slices — floor left a
+    // remainder micro-batch paying a whole batch's fixed cost for ~3 ops
+    val slices = ups.grouped(math.max(1, (ups.length + batches - 1) / batches)).toSeq
 
     val t0 = System.nanoTime()
     slices.foreach(b => driver.applyBatch(spark.createDataset(b.toSeq)))

@@ -84,7 +84,9 @@ object StreamProfile {
     java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
     val ups = graft.graph.TextGraph.loadUpdates(spark, tmp.toString)
       .collect().sortBy(_.seq)
-    val slices = ups.grouped(math.max(1, ups.length / batches)).toSeq
+    // ceil so the op count yields EXACTLY `batches` slices — floor left a
+    // remainder micro-batch paying a whole batch's fixed cost for ~3 ops
+    val slices = ups.grouped(math.max(1, (ups.length + batches - 1) / batches)).toSeq
 
     spark.sparkContext.addSparkListener(listener)
     slices.zipWithIndex.foreach { case (b, i) =>
