@@ -46,30 +46,54 @@ object TriangleCount {
       .select(col("src"), col("dst"))
   }
 
+  /** Oriented edges joined with BOTH endpoints' sorted oriented-out-
+    * neighbor arrays: (src, dst, snbrs, dnbrs). Shared by the count and
+    * per-vertex paths.
+    *
+    * Why adjacency intersection instead of the wedge join + closing
+    * semi-join: a triangle a→b→c is an oriented edge (a,b) plus one member
+    * of N⁺(a) ∩ N⁺(b), so `size(array_intersect)` per edge counts exactly
+    * what the old 2-path join counted WITHOUT materializing the wedges —
+    * on a dense graph (sf0.1 co-purchase: 20k vertices, ~1.2M oriented
+    * edges, mean out-degree ~60) the wedge relation is ~70M rows through a
+    * shuffle, vs ~1.2M array rows here. Degree orientation bounds every
+    * array at O(√|E|), so the per-row arrays stay small on power-law
+    * graphs and the shape scales: shuffle volume is O(|E|·√|E|) worst case
+    * but O(|E|·mean-out-deg) in practice, all codegen'd built-ins. */
+  private def withAdjacency(o: DataFrame): DataFrame = {
+    val adj = o.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    o.join(adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "snbrs"),
+        Seq("src"))
+      // left: a dst with no oriented out-edges has no adj row but can still
+      // close others' wedges — its own contribution is an empty array
+      .join(adj.withColumnRenamed("id", "dst").withColumnRenamed("nbrs", "dnbrs"),
+        Seq("dst"), "left_outer")
+      .select(col("src"), col("dst"), col("snbrs"),
+        coalesce(col("dnbrs"), array()).as("dnbrs"))
+  }
+
   /** Total triangle count (scalar DataFrame with one column `triangles`). */
   def countTriangles(spark: SparkSession, edges: DataFrame): DataFrame = {
     val o = orient(edges).localCheckpoint(true)
-    val e1 = o.as("e1")
-    val e2 = o.as("e2")
-    val wedges = e1.join(e2, col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val closed = wedges.join(o.as("e3"),
-      col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
-    val res = closed.agg(count(lit(1)).as("triangles"))
-    res
+    withAdjacency(o)
+      .agg(coalesce(sum(size(array_intersect(col("snbrs"), col("dnbrs")))), lit(0L))
+        .cast("long").as("triangles"))
   }
 
   /** Per-vertex triangle participation counts (id, triangles) — every vertex
-    * of each oriented triangle a→b→c gets +1. */
+    * of each oriented triangle a→b→c gets +1: for edge (a,b) both endpoints
+    * get |N⁺(a) ∩ N⁺(b)| and every closing vertex c gets 1. */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
     val o = orient(edges).localCheckpoint(true)
-    val e1 = o.as("e1")
-    val e2 = o.as("e2")
-    val tris = e1.join(e2, col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(o.as("e3"),
-        col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val withI = withAdjacency(o)
+      .select(col("src"), col("dst"),
+        array_intersect(col("snbrs"), col("dnbrs")).as("ws"))
+      .where(size(col("ws")) > 0)
+    val ends = withI.select(explode(array(col("src"), col("dst"))).as("id"),
+      size(col("ws")).cast("long").as("n"))
+    val closers = withI.select(explode(col("ws")).as("id"), lit(1L).as("n"))
+    ends.unionByName(closers)
+      .groupBy(col("id")).agg(sum(col("n")).as("triangles"))
   }
 }

@@ -138,17 +138,32 @@ object DeltaTriangles {
         (col("sdeg") === col("ddeg") && col("src") < col("dst")))
       .select(col("src"), col("dst"), col("isA"), col("isD"))
       .localCheckpoint(true)
-    val tri = o.as("e1").join(o.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(o.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-    val anyA = col("e1.isA") || col("e2.isA") || col("e3.isA")
-    val anyD = col("e1.isD") || col("e2.isD") || col("e3.isD")
-    val row = tri.agg(count(lit(1)).as("t"),
-      sum(when(anyA, 1L).otherwise(0L)).as("p"),
-      sum(when(anyD, 1L).otherwise(0L)).as("n")).head()
-    (row.getLong(0),
-      if (row.isNullAt(1)) 0L else row.getLong(1),
-      if (row.isNullAt(2)) 0L else row.getLong(2))
+    // Flag-aware adjacency intersection (the TriangleCount.countTriangles
+    // shape with the flags ridden along — no wedge relation is ever
+    // materialized): a triangle through oriented edge (a,b) is a member c
+    // of I = N⁺(a) ∩ N⁺(b), and it contains an add-flagged edge iff (a,b)
+    // itself is flagged OR c lies in the flag-restricted out-neighbors of
+    // a or b (edges (a,c)/(b,c) are oriented FROM a/b — both precede c).
+    val adj = o.groupBy(col("src").as("id")).agg(
+      collect_list(col("dst")).as("nb"),
+      collect_list(when(col("isA"), col("dst"))).as("nbA"),
+      collect_list(when(col("isD"), col("dst"))).as("nbD"))
+    val joined = o
+      .join(adj.select(col("id").as("src"), col("nb").as("snb"),
+        col("nbA").as("snbA"), col("nbD").as("snbD")), Seq("src"))
+      .join(adj.select(col("id").as("dst"), col("nb").as("dnb"),
+        col("nbA").as("dnbA"), col("nbD").as("dnbD")), Seq("dst"), "left_outer")
+    val i = array_intersect(col("snb"), coalesce(col("dnb"), array()))
+    def flagged(own: Column, sF: Column, dF: Column): Column =
+      when(own, size(i)).otherwise(
+        size(array_intersect(i, array_union(sF, coalesce(dF, array())))))
+    val row = joined.agg(
+      coalesce(sum(size(i).cast("long")), lit(0L)).as("t"),
+      coalesce(sum(flagged(col("isA"), col("snbA"), col("dnbA")).cast("long")),
+        lit(0L)).as("p"),
+      coalesce(sum(flagged(col("isD"), col("snbD"), col("dnbD")).cast("long")),
+        lit(0L)).as("n")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
   /** Full maintenance step: from `base` edges apply `adds` then `dels`
