@@ -178,12 +178,13 @@ final class MultiQueryDriver(spark: SparkSession,
     * routing signatures, the vUnion ghost rows, and the relation delta rows.
     * The remaining actions per batch:
     *   1. the relabel probe over V          (only when the batch has v-ops)
-    *   2. the before/after candidate probe  (edgeDeltaCollected, one job)
-    *   3. the endpoint-label probe over V   (one job)
+    *   2. the before/after candidate probe  (one job; for PURE-EDGE batches
+    *      the endpoint-label probe over V rides in the SAME action)
+    *   3. the endpoint-label probe over V   (one job, mixed batches only)
     *   4. the per-query delta-count union   (one job, J6 state mode)
     *   5. amortized: graph/rel/stage compaction every stateCompactEvery
-    * — independent of query count AND of graph size in job count; the two
-    * probes stream V/E once with LocalRelation broadcasts (no shuffle). */
+    * — independent of query count AND of graph size in job count; the
+    * probes stream V/E once with delta-sized broadcasts (no shuffle). */
   def applyBatchLocal(ops: Seq[GraphUpdate]): (Int, Long, Long) =
     graft.util.BatchConf.withStaticPlan(spark)(applyBatchLocalImpl(ops))
 
@@ -208,13 +209,14 @@ final class MultiQueryDriver(spark: SparkSession,
     // nor re-checkpointed. The general path streams E three times in the
     // probe action and copies V per batch.
     val pureEdge = ops.nonEmpty && ops.forall(o => o.op == "e" || o.op == "-e")
-    val (v1, e1, fastDelta) =
+    val (v1, e1, fastDelta, fastLabels) =
       if (pureEdge) {
-        val (e1v, d) = Updates.pureEdgeBatchLocal(spark, e0, ops)
-        (v0, e1v, Some(d))
+        // the endpoint-label probe rides INSIDE the same single action
+        val (e1v, d, lbl) = Updates.pureEdgeBatchLabeled(spark, e0, Some(v0), ops)
+        (v0, e1v, Some(d), Some(lbl))
       } else {
         val (v1g, e1g) = Updates.applyBatchLabeledLocal(spark, v0, e0, ops)
-        (v1g, e1g, None)
+        (v1g, e1g, None, None)
       }
     tr("applyBatch views (+probe)")
 
@@ -299,23 +301,32 @@ final class MultiQueryDriver(spark: SparkSession,
     // plus v0 ghost labels for the batch's -v ids (vUnion semantics: deleted
     // endpoints keep old labels unless re-added in the same batch).
     val vDelIds = ops.filter(_.op == "-v").map(_.id1).distinct
-    val endpointIds = (delta.addedRows ++ delta.deletedRows)
-      .flatMap(r => Seq(r._1, r._2)).distinct
-    val labelRows = {
-      val probeNew = v1c.join(broadcast(
-        graft.util.DeltaDF.of(spark, endpointIds.map(Tuple1(_)), "id")), Seq("id"), "left_semi")
-        .select(lit("n").as("w"), col("id"), col("vlabel"))
-      val probe = if (vDelIds.isEmpty) probeNew
-        else probeNew.unionByName(
-          v0.join(broadcast(vDelIds.toDF("id")), Seq("id"), "left_semi")
-            .select(lit("o").as("w"), col("id"), col("vlabel")))
-      probe.collect()
+    val (newLabels, oldLabels) = fastLabels match {
+      case Some(lbl) =>
+        // pure-edge: labels already collected inside the one probe action
+        // (a superset of the delta's endpoints; no -v ops ⇒ no ghosts)
+        tr("labels (reused from probe)")
+        (lbl, Map.empty[Long, Int])
+      case None =>
+        val endpointIds = (delta.addedRows ++ delta.deletedRows)
+          .flatMap(r => Seq(r._1, r._2)).distinct
+        val labelRows = {
+          val probeNew = v1c.join(broadcast(
+            graft.util.DeltaDF.of(spark, endpointIds.map(Tuple1(_)), "id")),
+            Seq("id"), "left_semi")
+            .select(lit("n").as("w"), col("id"), col("vlabel"))
+          val probe = if (vDelIds.isEmpty) probeNew
+            else probeNew.unionByName(
+              v0.join(broadcast(vDelIds.toDF("id")), Seq("id"), "left_semi")
+                .select(lit("o").as("w"), col("id"), col("vlabel")))
+          probe.collect()
+        }
+        tr("label probe (action)")
+        (labelRows.filter(_.getString(0) == "n")
+          .map(r => r.getLong(1) -> r.getInt(2)).toMap,
+          labelRows.filter(_.getString(0) == "o")
+            .map(r => r.getLong(1) -> r.getInt(2)).toMap)
     }
-    tr("label probe (action)")
-    val newLabels = labelRows.filter(_.getString(0) == "n")
-      .map(r => r.getLong(1) -> r.getInt(2)).toMap
-    val oldLabels = labelRows.filter(_.getString(0) == "o")
-      .map(r => r.getLong(1) -> r.getInt(2)).toMap
     def labelOf(id: Long): Option[Int] = newLabels.get(id).orElse(oldLabels.get(id))
 
     // vUnion as a LAZY view (ghost rows are driver-known)

@@ -606,6 +606,20 @@ object Updates {
     * (zero further actions). */
   def pureEdgeBatchLocal(spark: SparkSession, edges: DataFrame,
                          ops: Seq[GraphUpdate]): (DataFrame, EdgeDeltaLocal) = {
+    val (e1, d, _) = pureEdgeBatchLabeled(spark, edges, None, ops)
+    (e1, d)
+  }
+
+  /** `pureEdgeBatchLocal` with the endpoint-label probe FOLDED into the
+    * same single action: when `vertices` is given, the probe plan unions
+    * the E candidate-key scan with a V semi-join over every id the batch's
+    * ops mention (a superset of the delta's endpoints — sound, extra
+    * labels are simply unused), and the third return value maps id →
+    * vlabel for every such id present in V. The continuous tier's
+    * pure-edge batches drop from two probe actions to one. */
+  def pureEdgeBatchLabeled(spark: SparkSession, edges: DataFrame,
+                           vertices: Option[DataFrame], ops: Seq[GraphUpdate])
+      : (DataFrame, EdgeDeltaLocal, Map[Long, Int]) = {
     import spark.implicits._
     require(ops.forall(o => o.op == "e" || o.op == "-e"), "pure-edge batches only")
     def canon(s: Long, d: Long): (Long, Long) = if (s < d) (s, d) else (d, s)
@@ -628,7 +642,8 @@ object Updates {
         if (delSelf.isEmpty) e
         else e.join(broadcast(delSelf.toDF("src", "dst")),
           Seq("src", "dst"), "left_anti")
-      return (e1, EdgeDeltaLocal(Nil, Nil, Nil, Nil))
+      // empty delta: the caller short-circuits before consulting labels
+      return (e1, EdgeDeltaLocal(Nil, Nil, Nil, Nil), Map.empty)
     }
 
     val c = compactLocal(ops)
@@ -636,13 +651,31 @@ object Updates {
       .filter(t => t._1 != t._2)
     val delDirected = c.filter(_.op == "-e").map(u => (u.id1, u.id2)).toSet
 
-    // the ONE probe action: E rows whose canonical key is a candidate
+    // the ONE probe action: E rows whose canonical key is a candidate,
+    // unioned (when a vertex table rides along) with the V label probe
     val keysDf = graft.util.DeltaDF.of(spark, (rawAddK ++ rawDelK).toSeq, "lo", "hi")
-    val hits = e.where(col("src") =!= col("dst"))
+    val eProbe = e.where(col("src") =!= col("dst"))
       .join(broadcast(keysDf),
         least(col("src"), col("dst")) === col("lo") &&
           greatest(col("src"), col("dst")) === col("hi"), "left_semi")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .select(lit(false).as("isV"), col("src").as("a"), col("dst").as("b"),
+        col("elabel").as("l"))
+    val probe = vertices match {
+      case Some(v) =>
+        val ids = ops.flatMap(u => Seq(u.id1, u.id2)).distinct
+        val vProbe = v
+          .join(broadcast(graft.util.DeltaDF.of(spark, ids.map(Tuple1(_)), "id")),
+            Seq("id"), "left_semi")
+          .select(lit(true).as("isV"), col("id").as("a"), col("id").as("b"),
+            col("vlabel").as("l"))
+        eProbe.unionByName(vProbe)
+      case None => eProbe
+    }
+    val probeRows = probe.collect()
+    val hits = probeRows.iterator.filter(!_.getBoolean(0))
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val labels: Map[Long, Int] = probeRows.iterator.filter(_.getBoolean(0))
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
 
     val presentDirected = hits.map(t => (t._1, t._2)).toSet
     val newRows = addRows.filterNot(t => presentDirected((t._1, t._2)))
@@ -663,7 +696,7 @@ object Updates {
           graft.util.DeltaDF.of(spark, delDirected.toSeq, "src", "dst")),
         Seq("src", "dst"), "left_anti")
     (e1.select(col("src"), col("dst"), col("elabel")),
-      EdgeDeltaLocal(added.toSeq, deleted.toSeq, addedRows, deletedRows))
+      EdgeDeltaLocal(added.toSeq, deleted.toSeq, addedRows, deletedRows), labels)
   }
 
   /** Keys-only collected canonical delta for UNLABELED edge tables — the
