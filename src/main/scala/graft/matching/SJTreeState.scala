@@ -217,13 +217,18 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     // (measured: +3-4s per batch at sf0.1 until the compaction reset).
     // With it, each stage is a shallow chain of cached-delta overlays whose
     // depth the compaction cadence bounds.
-    // Seed deltas ARE persisted even though they are filters over driver-
-    // local LocalRelations (recomputing one is free): without the
-    // InMemoryRelation barrier, Catalyst's ConvertToLocalRelation re-folds
+    // Seed-delta persists are CONDITIONAL on the delta's leaf kind. For a
+    // LocalRelation-backed delta, the persist is the InMemoryRelation
+    // barrier that stops Catalyst's ConvertToLocalRelation from re-folding
     // the pure-local subtree ON THE DRIVER (single-threaded, interpreted)
-    // at every optimization of every plan that references the seed —
-    // measured +15-30s per sf0.1 count action when the seeds were left
-    // lazy. The persist costs one tiny cache job; the barrier pays for it.
+    // at every optimization of every referencing plan — measured +15-30s
+    // per sf0.1 count action when such seeds were left lazy. For an
+    // RDD-backed delta (DeltaDF above its threshold — every big batch) the
+    // fold is structurally impossible (no LocalRelation to fold) and the
+    // batch path additionally excludes the rule (BatchConf), so the seed
+    // stays a LAZY filter over the RDD leaf: re-running it per scan is a
+    // cheap executor-side pass, and dropping the persist removes one
+    // CacheManager planning round-trip (~0.1-0.2s driver) per seed.
 
     // NOTE on the missing cols() re-selects: every frame below already has
     // exactly boundAt(i)'s columns in boundAt(i)'s order — seed() selects
@@ -233,15 +238,20 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     // so a defensive re-select per term only buys an extra analyzer pass
     // per op (measured: plan construction is a per-batch driver cost).
 
+    def localBacked(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
     // positive pass (prefix-new ∪ prefix-old-edge-new, disjoint)
     val (sA, posLast) =
       if (!hasAdds) (stages.toVector, None)
       else {
         val dPrev0 = seed(addedRel)
         SJTreeState.tr("pos seed build")
-        val dPrev0p = dPrev0.persist(storage)
+        val dPrev0p =
+          if (localBacked(addedRel)) { val x = dPrev0.persist(storage); cached += x; x }
+          else dPrev0
         SJTreeState.tr("pos seed persist")
-        cached += dPrev0p
         var dPrev = dPrev0p
         var acc = Vector(stages(0).unionByName(dPrev))
         (1 until k).foreach { i =>
@@ -264,8 +274,10 @@ final class SJTreeState(spark: SparkSession, val query: QueryGraph,
     val (negD, negLast) =
       if (!hasDels) (Vector.empty[DataFrame], None)
       else {
-        val nPrev0 = seed(deletedRel).persist(storage)
-        cached += nPrev0
+        val nPrev00 = seed(deletedRel)
+        val nPrev0 =
+          if (localBacked(deletedRel)) { val x = nPrev00.persist(storage); cached += x; x }
+          else nPrev00
         var nPrev = nPrev0
         var acc = Vector(nPrev)
         (1 until k).foreach { i =>
