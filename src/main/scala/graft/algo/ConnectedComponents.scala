@@ -62,11 +62,18 @@ final class ConnectedComponents(maxIter: Int = 50,
 
   private def loop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                    store: Option[StateStore], init: Option[DataFrame]): AlgoResult = {
-    // Undirected view: propagate along both directions.
+    // Undirected view: propagate along both directions. Repartitioned by
+    // src ONCE (opt round 6, guide §2.4): dropDuplicates leaves (src,dst)
+    // partitioning, which does NOT satisfy the per-superstep neighbor-min
+    // join on src — without this the full undirected table re-exchanged
+    // every superstep (the same fixed cost LabelPropagation/PageRank.prepare
+    // already eliminate).
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
+      .repartition(parts, col("src"))
       .persist()
     und.count()
 
@@ -81,10 +88,12 @@ final class ConnectedComponents(maxIter: Int = 50,
 
     while (it < maxIter && changed > 0) {
       val t0 = System.nanoTime()
-      // (1) neighbor min: for each dst, min over labels of its in-neighbors
-      val nbrMin = und.join(state, und("src") === state("id"))
+      // (1) neighbor min: for each dst, min over labels of its in-neighbors.
+      // shuffle-hash (opt round 6, guide §3.1): state fits per-partition
+      // hash maps; SMJ would re-sort the big und side every superstep.
+      val nbrMin = und.join(state.hint("shuffle_hash"), und("src") === state("id"))
         .groupBy(und("dst").as("id")).agg(min(col("label")).as("nbrMin"))
-      val cand = state.join(nbrMin, Seq("id"), "left_outer")
+      val cand = state.join(nbrMin.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("cand"))
       // (2) pointer jump: label(label(v)) — compresses label chains. Probe
@@ -97,7 +106,7 @@ final class ConnectedComponents(maxIter: Int = 50,
       // small/mid graphs pay zero probes, the 100 TB regime still probes
       val concentrated = rowsPrev > hotLabelThreshold && approxLabels < rowsPrev / 4
       def plainJump(): DataFrame =
-        cand.join(ptr, cand("label") === ptr("lid"), "left_outer")
+        cand.join(ptr.hint("shuffle_hash"), cand("label") === ptr("lid"), "left_outer")
           .select(col("id"), col("label"),
             least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
       // hot labels by algebraic count (partial agg absorbs the hot key);

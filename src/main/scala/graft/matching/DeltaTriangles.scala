@@ -119,13 +119,24 @@ object DeltaTriangles {
     * needed at all. */
   def bulkCounts(spark: SparkSession, edges: DataFrame,
                  adds: DataFrame, dels: DataFrame): (Long, Long, Long) = {
-    // canonical flagged edge set
-    val e = canon(edges)
-      .join(canon(adds).withColumn("isA", lit(true)), Seq("lo", "hi"), "left_outer")
-      .join(canon(dels).withColumn("isD", lit(true)), Seq("lo", "hi"), "left_outer")
-      .select(col("lo"), col("hi"),
-        coalesce(col("isA"), lit(false)).as("isA"),
-        coalesce(col("isD"), lit(false)).as("isD"))
+    // canonical flagged edge set — ONE exchange (opt round 6, guide §2.4):
+    // a tagged union + groupBy replaces the old distinct + two (lo,hi)
+    // joins (three exchanges over the full edge set). Keys must come from
+    // `edges` (max(isE)) so a delta row absent from the edge set is dropped
+    // exactly as the old left-outer join dropped it.
+    def c(df: DataFrame): DataFrame = df.select(
+      least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+    val e = c(edges).select(col("lo"), col("hi"),
+        lit(true).as("isE"), lit(false).as("isA"), lit(false).as("isD"))
+      .union(c(adds).select(col("lo"), col("hi"),
+        lit(false).as("isE"), lit(true).as("isA"), lit(false).as("isD")))
+      .union(c(dels).select(col("lo"), col("hi"),
+        lit(false).as("isE"), lit(false).as("isA"), lit(true).as("isD")))
+      .groupBy(col("lo"), col("hi"))
+      .agg(max(col("isE")).as("isE"), max(col("isA")).as("isA"), max(col("isD")).as("isD"))
+      .where(col("isE"))
+      .select(col("lo"), col("hi"), col("isA"), col("isD"))
       .localCheckpoint(true)
     // degree orientation (TriangleCount.orient with flags carried)
     val und = e.select(col("lo").as("src"), col("hi").as("dst"), col("isA"), col("isD"))
@@ -138,31 +149,41 @@ object DeltaTriangles {
         (col("sdeg") === col("ddeg") && col("src") < col("dst")))
       .select(col("src"), col("dst"), col("isA"), col("isD"))
       .localCheckpoint(true)
-    // Flag-aware adjacency intersection (the TriangleCount.countTriangles
-    // shape with the flags ridden along — no wedge relation is ever
-    // materialized): a triangle through oriented edge (a,b) is a member c
-    // of I = N⁺(a) ∩ N⁺(b), and it contains an add-flagged edge iff (a,b)
-    // itself is flagged OR c lies in the flag-restricted out-neighbors of
-    // a or b (edges (a,c)/(b,c) are oriented FROM a/b — both precede c).
-    val adj = o.groupBy(col("src").as("id")).agg(
-      collect_list(col("dst")).as("nb"),
-      collect_list(when(col("isA"), col("dst"))).as("nbA"),
-      collect_list(when(col("isD"), col("dst"))).as("nbD"))
-    val joined = o
-      .join(adj.select(col("id").as("src"), col("nb").as("snb"),
-        col("nbA").as("snbA"), col("nbD").as("snbD")), Seq("src"))
-      .join(adj.select(col("id").as("dst"), col("nb").as("dnb"),
-        col("nbA").as("dnbA"), col("nbD").as("dnbD")), Seq("dst"), "left_outer")
-    val i = array_intersect(col("snb"), coalesce(col("dnb"), array()))
-    def flagged(own: Column, sF: Column, dF: Column): Column =
-      when(own, size(i)).otherwise(
-        size(array_intersect(i, array_union(sF, coalesce(dF, array())))))
-    val row = joined.agg(
-      coalesce(sum(size(i).cast("long")), lit(0L)).as("t"),
-      coalesce(sum(flagged(col("isA"), col("snbA"), col("dnbA")).cast("long")),
-        lit(0L)).as("p"),
-      coalesce(sum(flagged(col("isD"), col("snbD"), col("dnbD")).cast("long")),
-        lit(0L)).as("n")).head()
+    // Flag-aware triangle enumeration (opt round 6 rewrite, guide §2.3 —
+    // shuffle/carry fewer bytes): the old shape collected THREE adjacency
+    // arrays per vertex (nb + flag-restricted nbA/nbD) and dragged all six
+    // through both joins — ~3× the array payload of q_triangles' plan for
+    // the same intersections (measured 11.6s of the 25s bulkCounts wall at
+    // sf0.1, vs ~1.5s for the unflagged twin). Now: plain adjacency only,
+    // one intersect per oriented edge, then the (avg |i| = triangles/edges
+    // ≈ 1.6) closing sets EXPLODE into triangle rows (a,b,c) and the two
+    // non-seed edges' flags resolve via joins against the tiny flagged-edge
+    // subset of `o` (AQE broadcasts it; a triangle through (a,b) closes via
+    // edges (a,c)/(b,c), both oriented FROM a/b — so the (src,dst) lookup
+    // is exact). A triangle contains an add iff its seed OR either closing
+    // edge is add-flagged; same for deletes.
+    val adj = o.groupBy(col("src").as("id"))
+      .agg(collect_list(col("dst")).as("nb"))
+    val withI = o
+      .join(adj.select(col("id").as("src"), col("nb").as("snb")), Seq("src"))
+      .join(adj.select(col("id").as("dst"), col("nb").as("dnb")), Seq("dst"), "left_outer")
+      .select(col("src").as("a"), col("dst").as("b"), col("isA"), col("isD"),
+        array_intersect(col("snb"), coalesce(col("dnb"), array())).as("ia"))
+    val tri = withI.select(col("a"), col("b"), col("isA"), col("isD"),
+      explode(col("ia")).as("c"))
+    val fo = o.where(col("isA") || col("isD"))
+      .select(col("src"), col("dst"), col("isA").as("fA"), col("isD").as("fD"))
+    val withFlags = tri
+      .join(fo.select(col("src").as("a"), col("dst").as("c"),
+        col("fA").as("acA"), col("fD").as("acD")), Seq("a", "c"), "left_outer")
+      .join(fo.select(col("src").as("b"), col("dst").as("c"),
+        col("fA").as("bcA"), col("fD").as("bcD")), Seq("b", "c"), "left_outer")
+    val row = withFlags.agg(
+      count(lit(1)).as("t"),
+      coalesce(sum(when(col("isA") || coalesce(col("acA"), lit(false)) ||
+        coalesce(col("bcA"), lit(false)), 1L).otherwise(0L)), lit(0L)).as("p"),
+      coalesce(sum(when(col("isD") || coalesce(col("acD"), lit(false)) ||
+        coalesce(col("bcD"), lit(false)), 1L).otherwise(0L)), lit(0L)).as("n")).head()
     (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
@@ -187,8 +208,15 @@ object DeltaTriangles {
     // dedup) the union exactly once inside their flagged relation
     val afterAdds = base.select(col("src"), col("dst"))
       .union(adds.select(col("src"), col("dst")))
-    val nDelta = adds.count() + dels.count()
-    val nBase = base.count()
+    // route-selection counts in ONE action (opt round 6): three separate
+    // .count() jobs each paid a driver round-trip over the same
+    // checkpointed input
+    val cnts = base.select(lit(0).as("t")).union(adds.select(lit(1).as("t")))
+      .union(dels.select(lit(2).as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nDelta = cnts.getOrElse(1, 0L) + cnts.getOrElse(2, 0L)
+    val nBase = cnts.getOrElse(0, 0L)
     val (t0, pos, neg) =
       if (nDelta > 0.02 * nBase) {
         val (tAfter, p, n) = bulkCounts(spark, afterAdds, adds, dels)

@@ -377,8 +377,18 @@ object GraphMatcher {
       if (!homomorphic) {
         // exclude core images from the candidate set: for every other core
         // vertex w, subtract 1 iff (m[attach], m[w]) is an edge matching the
-        // group's labels (then m[w] sits inside the candidate set)
-        coreNames.filter(_ != g.attach).zipWithIndex.foreach { case (w, wi) =>
+        // group's labels (then m[w] sits inside the candidate set).
+        // Label-disjointness fast path (opt round 6, guide §2.4 — remove
+        // shuffles outright): when the group's vertex label and w's label
+        // are BOTH concrete and different, m[w] can never sit inside the
+        // group's candidate set (candidates require dlabel = g.vlabel and a
+        // vertex has exactly one label), so the correction join is provably
+        // zero — skip it. For q_match_tailtri this removes two full-relation
+        // SortMergeJoins + four Exchanges over the core-embedding relation.
+        coreNames.filter(w => w != g.attach &&
+            !(g.vlabel.isDefined && query.byName(w).vlabel.isDefined &&
+              g.vlabel != query.byName(w).vlabel))
+          .zipWithIndex.foreach { case (w, wi) =>
           val hit = rel.where(el && dl).select(
             col("src").as(s"_hs$gi$wi"), col("dst").as(s"_hd$gi$wi"),
             lit(1L).as(s"_hit$gi$wi"))

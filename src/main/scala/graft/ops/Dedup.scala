@@ -32,18 +32,29 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingle table: (doc_id, shingle) distinct. n=1 gives token
-    * sets (the SQL-oracle-friendly case); n≥2 gives true shingles. */
+    * sets (the SQL-oracle-friendly case); n≥2 gives true shingles.
+    *
+    * Physical shape (opt round 6, guide §1.2/§2.5): the doc table is hash-
+    * repartitioned by id BEFORE tokenization — a compact corpus arrives as
+    * ONE parquet split, and without the exchange the whole regexp+explode
+    * pass runs in a single task (measured 9.0s of the 12s minhash wall at
+    * sf0.1). The token array is computed ONCE per row behind that exchange;
+    * the old inline expr re-ran split(regexp_replace(...)) INSIDE the
+    * per-shingle lambda — O(tokens) regexp passes per document. Values are
+    * unchanged (same transform/slice arithmetic over the same array). */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val withWs = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), toks.as("ws"))
     val sh =
-      if (n == 1) explode(toks).as("shingle")
+      if (n == 1) explode(col("ws")).as("shingle")
       else explode(expr(
-        s"""transform(sequence(0, greatest(size(split(regexp_replace(trim($textCol),
-           |'\\\\s+', ' '), ' ')) - $n, -1)),
-           | i -> concat_ws(' ', slice(split(regexp_replace(trim($textCol),
-           |'\\\\s+', ' '), ' '), i + 1, $n)))""".stripMargin.replaceAll("\n", " "))).as("shingle")
-    docs.select(col(idCol).as("doc_id"), sh).where(col("shingle") =!= "").distinct()
+        s"transform(sequence(0, greatest(size(ws) - $n, -1)), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("shingle")
+    withWs.select(col("doc_id"), sh).where(col("shingle") =!= "").distinct()
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -144,7 +155,14 @@ object Dedup {
   /** Signatures over an already-materialized (doc_id, shingle) table — lets
     * the near-dup pipeline compute shingles ONCE and share them between the
     * signature pass and the exact-verify pass without relying on
-    * CacheManager plan-matching. */
+    * CacheManager plan-matching.
+    *
+    * Measured non-change (opt round 6): hashing each DISTINCT shingle once
+    * and joining back (round-5 verdict's suggestion #4, generalized) was
+    * A/B-probed at sf0.1 — the inline min-aggregate runs 0.35-0.8s warm
+    * while the distinct+join variant costs 2.4-3.6s: the md5 chain
+    * parallelizes across cores and is NOT the dominant term; the extra
+    * distinct exchange + join is. Kept inline (guide §1.1: measure first). */
   def signaturesFromShingles(sh: DataFrame, numPerm: Int,
                              shingleHash: (Column, Int) => Column = xxShingleHash): DataFrame = {
     val aggs = (0 until numPerm).map(i =>
@@ -213,8 +231,13 @@ object Dedup {
     * sums (single shuffle), then bit assembly — no UDF. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")).as("tok"))
+    // repartition before tokenize+hash (opt round 6, same rationale as
+    // shingles(): a compact corpus arrives as one input split)
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")).as("tok"))
       .where(col("tok") =!= "")
       .withColumn("h", tokHash(col("tok")))
     val bitSums = (0 until 64).map { b =>
