@@ -24,9 +24,13 @@ object Bfs {
     * over the UNDIRECTED view of `edges`, up to `maxDepth` levels. */
   def depths(spark: SparkSession, edges: DataFrame, sources: DataFrame,
              maxDepth: Int = 50): DataFrame = {
+    // one exchange (opt round 6): repartition by src first — hash(src)
+    // satisfies the (src,dst) dedup AND the per-level frontier join key
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")
       .persist()
     und.count()

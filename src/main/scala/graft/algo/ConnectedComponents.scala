@@ -68,12 +68,14 @@ final class ConnectedComponents(maxIter: Int = 50,
     // join on src — without this the full undirected table re-exchanged
     // every superstep (the same fixed cost LabelPropagation/PageRank.prepare
     // already eliminate).
+    // (repartition FIRST: HashPartitioning(src) satisfies the (src,dst)
+    // dedup's clustering, so the dedup runs in-place — one exchange total)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst")
       .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst")
       .persist()
     und.count()
 
@@ -138,9 +140,10 @@ final class ConnectedComponents(maxIter: Int = 50,
               least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
         }
 
-      // Checkpoint eagerly ONCE, then both the changed-count agg and the
-      // durable commit read the materialized result (no double compute).
-      val nextChk = next.localCheckpoint(true)
+      // LAZY checkpoint + aggregate = ONE action per superstep (opt round
+      // 6): the agg materializes the checkpoint, and the commit/state reads
+      // the materialized result (no double compute, one fewer job).
+      val nextChk = next.localCheckpoint(false)
       val agg = nextChk.agg(
         sum(when(col("newLabel") =!= col("label"), 1L).otherwise(0L)).as("changed"),
         count(lit(1)).as("rows"),

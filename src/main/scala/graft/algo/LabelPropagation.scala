@@ -34,12 +34,16 @@ final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
     // which does NOT satisfy the per-superstep join on src — the full
     // undirected table would re-exchange every superstep, the same fixed
     // cost PageRank.prepare eliminates for adj)
+    // ONE exchange (opt round 6, guide §2.4): repartition by src FIRST —
+    // HashPartitioning(src) satisfies the (src,dst) dedup's clustering
+    // requirement (src ⊆ {src,dst}), so dropDuplicates runs in-place and
+    // the old dedup-exchange + repartition-exchange pair collapses to one.
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .dropDuplicates("src", "dst")
       .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
 
     var state = vertices.select(col("id")).distinct()
@@ -51,7 +55,11 @@ final class LabelPropagation(maxIter: Int = 10) extends Algorithm {
     while (it < maxIter && changed > 0) {
       val t0 = System.nanoTime()
       val next = step(und, state)
-      val nextChk = next.localCheckpoint(true)
+      // LAZY checkpoint + aggregate = ONE action per superstep (opt round
+      // 6, guide §1.2): the eager checkpoint was a separate job whose rows
+      // the immediately-following agg re-scanned anyway; the agg now
+      // materializes the checkpoint as a side effect (Bfs.depths' fusion).
+      val nextChk = next.localCheckpoint(false)
       val agg = nextChk.agg(
         sum(when(col("newLabel") =!= col("label"), 1L).otherwise(0L)).as("changed"),
         count(lit(1)).as("rows")).head()

@@ -131,7 +131,10 @@ final class PageRank(
         .withColumn("d", abs(col("rank") - col("prev")))
       val next = stepped
         .select(col("id"), col("rank"), col("dangling"), col("outDeg"), col("d"))
-        .localCheckpoint(true)
+        // LAZY: the delta-norm agg below materializes the checkpoint in the
+        // same action (opt round 6 — one job per superstep, not two); prev
+        // is only unpersisted after that agg has run
+        .localCheckpoint(false)
       // one scan of the fresh state: delta norms + next dangling mass
       val row = next.agg(
         sum(col("d")).as("l1"), max(col("d")).as("linf"),
@@ -322,8 +325,12 @@ object PageRank {
       col("dangling"), col("outDeg")).localCheckpoint(true)
     var dm = danglingMass(ranks)
     for (i <- 1 to iters) {
+      // LAZY checkpoint: the danglingMass agg materializes it in one action
+      // (opt round 6). The LAST iteration stays EAGER — no agg follows it,
+      // and prev.unpersist() below would otherwise drop blocks a still-lazy
+      // plan needs (a truncated-lineage checkpoint cannot recompute).
       val next = superstep(g, ranks, dm, damping)
-        .select("id", "rank", "dangling", "outDeg").localCheckpoint(true)
+        .select("id", "rank", "dangling", "outDeg").localCheckpoint(i == iters)
       val prev = ranks
       ranks = next
       if (i < iters) dm = danglingMass(ranks)

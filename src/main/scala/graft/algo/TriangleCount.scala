@@ -31,9 +31,15 @@ object TriangleCount {
     * upstream `edges` is often an expensive derivation (re-running it 3x
     * dominated q_triangles' round-1 cost). */
   def orient(edges: DataFrame): DataFrame = {
+    // one exchange (opt round 6): repartition by src first — hash(src)
+    // satisfies the (src,dst) dedup, the degree groupBy(src), and the
+    // src-side orientation join, so the whole orient pipeline runs on one
+    // partitioning (the deg side is tiny — AQE broadcasts it)
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))

@@ -51,9 +51,15 @@ object GraphMatcher {
     * undirected (reference graph.h:63) — both orientations materialized so
     * every join is a plain equi-join on src. */
   def relation(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    // one exchange (opt round 6): repartition by src first — hash(src)
+    // satisfies the (src,dst) dedup and the src-side label join, and the
+    // materialized relation comes out pre-partitioned on src, the probe key
+    // of every extension join in the match plans
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src"), col("dst"), col("elabel"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("elabel")))
       .where(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")
     val vl = vertices.select(col("id"), col("vlabel"))
     und
@@ -424,13 +430,31 @@ object GraphMatcher {
   def countDeltaMatches(spark: SparkSession, query: QueryGraph,
                         edges: DataFrame, vertices: DataFrame,
                         homomorphic: Boolean = false): DataFrame = {
-    val rel = relation(edges, vertices)
-      .join(edges.select(col("src"), col("dst"), col("isNew"))
-          .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("isNew")))
-          .dropDuplicates("src", "dst"),
-        Seq("src", "dst"), "left_outer")
-      .withColumn("isNew", coalesce(col("isNew"), lit(false)))
-      .localCheckpoint(true)
+    // The isNew flag rides THROUGH the symmetrize+dedup+label pipeline
+    // (opt round 6, guide §2.4): the old shape built the unflagged relation
+    // and then re-joined a separately symmetrized+deduped flag table on
+    // (src,dst) — a second full-relation exchange+join for a column the
+    // input already carried. The relation is also pruned to rows matching
+    // SOME query edge in SOME orientation before the checkpoint
+    // (materializedRelation's forQuery rule — sound for the join plan, and
+    // the any-flag filter only consults rows the plan matched).
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val und = edges.select(col("src"), col("dst"), col("elabel"), col("isNew"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("elabel"), col("isNew")))
+      .where(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst")
+    val vl = vertices.select(col("id"), col("vlabel"))
+    val r0 = und
+      .join(vl.withColumnRenamed("id", "src").withColumnRenamed("vlabel", "slabel"), Seq("src"))
+      .join(vl.withColumnRenamed("id", "dst").withColumnRenamed("vlabel", "dlabel"), Seq("dst"))
+      .select(col("src"), col("dst"), col("elabel"), col("slabel"), col("dlabel"),
+        col("isNew"))
+    val any = query.edges.flatMap(e =>
+      Seq(edgeCond(query, e, r0), edgeCond(query, QEdge(e.v, e.u, e.elabel), r0)))
+      .reduce(_ || _)
+    val rel = r0.where(any).localCheckpoint(true)
     val order = chooseOrder(query, rel)
     val matches = plan(query, rel, order, homomorphic, carryFlag = true, None)
     val anyNew = (0 until query.edges.size).map(i => col(s"_f$i")).reduce(_ || _)
@@ -455,11 +479,14 @@ object GraphMatcher {
     val todo = work.filter(w => w._3 || w._4)
     if (todo.isEmpty) return Map.empty
     // relation() with the add/del flags carried through the symmetrization
+    val undParts = flaggedEdges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val und = flaggedEdges
       .select(col("src"), col("dst"), col("elabel"), col("isAdd"), col("isDel"))
       .union(flaggedEdges.select(col("dst").as("src"), col("src").as("dst"),
         col("elabel"), col("isAdd"), col("isDel")))
       .where(col("src") =!= col("dst"))
+      .repartition(undParts, col("src"))
       .dropDuplicates("src", "dst")
     val vl = vertices.select(col("id"), col("vlabel"))
     val relFlagged = und

@@ -233,11 +233,16 @@ final class MultiQueryDriver(spark: SparkSession,
       newL.exists { case (id, l) => vOpOldLabels.get(id).exists(_ != l) }
     }
     // batch-derived vertex membership deltas (labeled tier: only v-ops
-    // create vertex rows; final compacted op decides survival)
-    val compacted = Updates.compactLocal(ops)
-    val newVertexIds = compacted.filter(_.op == "v").map(_.id1)
-      .filterNot(vOpOldLabels.contains)
-    val deadVertexIds = compacted.filter(_.op == "-v").map(_.id1)
+    // create vertex rows; final compacted op decides survival). Pure-edge
+    // batches have no v/-v ops at all — skip the whole compaction pass
+    // (opt round 6: it re-ran the |Δ| compaction the fast path already did)
+    val (newVertexIds, deadVertexIds) =
+      if (pureEdge) (Seq.empty[Long], Seq.empty[Long])
+      else {
+        val compacted = Updates.compactLocal(ops)
+        (compacted.filter(_.op == "v").map(_.id1).filterNot(vOpOldLabels.contains),
+          compacted.filter(_.op == "-v").map(_.id1))
+      }
     tr("relabel+compact")
 
     if (pureEdge) {
