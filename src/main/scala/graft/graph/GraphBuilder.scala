@@ -136,11 +136,16 @@ object GraphBuilder {
 
   /** Symmetrize a directed edge list (undirected view for CC / LP /
     * triangles — the reference graph is undirected, graph.h:63). */
-  def undirected(edges: DataFrame): DataFrame =
+  def undirected(edges: DataFrame): DataFrame = {
+    // one exchange (opt round 6): hash(src) satisfies the (src,dst) dedup
+    // clustering and pre-positions the table for src-keyed consumers
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")
+  }
 
   /** Hot keys: vertices whose in-degree exceeds `threshold` — the power-law
     * hubs that would skew a shuffle on dst. Small by construction (top of a

@@ -89,8 +89,13 @@ object Similarity {
     // otherwise fan every query colliding with it across the whole corpus.
     // The sketch computation (nTables x nBits dot products per vector) is
     // materialized once so the cap scan doesn't re-evaluate it.
+    // corpus side spread over the cluster before the sketch pass (opt
+    // round 6): a compact corpus arrives as one input split and the
+    // nTables x nBits dot products per vector ran in a single task
+    val parts = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cb = Dedup.capBucketsLogged(
-      buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec")
+      buckets(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+          .repartition(parts, col("nid")), "nid", "nvec")
         .localCheckpoint(true),
       Seq("tbl", "bkt"), maxBucketSize, "sign-lsh topk corpus")
     val cands = qb.join(cb, Seq("tbl", "bkt"))
@@ -197,8 +202,10 @@ object Similarity {
           .select(col(id), col(vec), explode(col("top")).as("sc"))
           .select(col(id), col(vec), col("sc.cid").as("cid"))
     }
+    val parts = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+        .repartition(parts, col("nid")), "nid", "nvec", 1)
     val probes = nearestCentroids(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
     val cands = probes.join(assigned, Seq("cid"))
@@ -235,8 +242,12 @@ object Similarity {
       struct(lit(t).as("tbl"),
         signSketch(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bkt"))
     }
-    // sketches materialized once (cap scan + both self-join sides reuse)
-    val raw = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // sketches materialized once (cap scan + both self-join sides reuse);
+    // spread over the cluster first (opt round 6 — single-split corpus)
+    val parts = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val raw = corpus.select(col(idCol), col(vecCol))
+      .repartition(parts, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(array(tableCols: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .localCheckpoint(true)

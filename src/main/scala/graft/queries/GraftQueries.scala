@@ -32,6 +32,16 @@ object GraftQueries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `table` spread over the session's parallelism (opt round 6): a compact
+    * table arrives as ONE parquet split, serializing every per-row regexp/
+    * hash pass into a single task; the hash repartition costs one tiny
+    * exchange and is deterministic under retry. Values unchanged. */
+  private def spreadTable(spark: SparkSession, dir: String, name: String,
+                          byCol: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    table(spark, dir, name).repartition(parts, col(byCol))
+  }
+
   /** Train every data-dependent oracle artifact for `dir` (currently: the
     * IVF quantizer) so oracleSql emits literals consistent with what the
     * queries used. Verify calls this before dumping oracle_sql.json;
@@ -339,10 +349,22 @@ object GraftQueries {
       val eDF = e.toDF().localCheckpoint(true)
       val nPages = vDF.count()
       val nEdges = eDF.count()
-      val nComps = new ConnectedComponents(maxIter = 60).run(s, eDF, vDF)
-        .state.select("label").distinct().count()
-      val nTris = TriangleCount.countTriangles(s, eDF).head().getLong(0)
-      val nDangling = vDF.join(eDF.select(col("src").as("id")), Seq("id"), "left_anti").count()
+      // the three independent statistics overlap as concurrent jobs (opt
+      // round 6, guide §2.6): each is a chain of small jobs over the two
+      // checkpointed tables, and the fixture graph is far below the
+      // cluster's parallelism — results are unchanged, the driver just
+      // stops serializing ~12 sub-second jobs
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fComps = Future(new ConnectedComponents(maxIter = 60).run(s, eDF, vDF)
+        .state.select("label").distinct().count())
+      val fTris = Future(TriangleCount.countTriangles(s, eDF).head().getLong(0))
+      val fDangling = Future(vDF.join(eDF.select(col("src").as("id")), Seq("id"), "left_anti").count())
+      val (nComps, nTris, nDangling) =
+        (Await.result(fComps, Duration.Inf), Await.result(fTris, Duration.Inf),
+          Await.result(fDangling, Duration.Inf))
       Seq((nPages, nEdges, nComps, nTris, nDangling))
         .toDF("n_pages", "n_edges", "n_components", "n_triangles", "n_dangling")
     }),
@@ -377,25 +399,25 @@ object GraftQueries {
 
     // --- text analysis (training-data pipeline) ---
     "q_doc_tokens" -> ((s, d) =>
-      table(s, d, "documents").select(col("doc_id"),
+      spreadTable(s, d, "documents", "doc_id").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")),
     "q_doc_quality" -> ((s, d) =>
-      TextAnalysis.qualityColumns(table(s, d, "documents"))
+      TextAnalysis.qualityColumns(spreadTable(s, d, "documents", "doc_id"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("punct_cnt").cast("long").as("punct_cnt"),
           col("alpha_ratio"), col("avg_token_len"))
         .orderBy("doc_id")),
     "q_langid" -> ((s, d) =>
-      TextAnalysis.langIdColumns(table(s, d, "documents"))
+      TextAnalysis.langIdColumns(spreadTable(s, d, "documents", "doc_id"))
         .select(col("doc_id"), col("s_de").cast("long").as("s_de"),
           col("s_en").cast("long").as("s_en"), col("s_es").cast("long").as("s_es"),
           col("s_fr").cast("long").as("s_fr"), col("s_zh").cast("long").as("s_zh"),
           col("pred_lang"))
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
-      table(s, d, "documents").select(col("doc_id"),
+      spreadTable(s, d, "documents", "doc_id").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
 
     // --- similarity search ---

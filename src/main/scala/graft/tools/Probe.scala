@@ -225,6 +225,27 @@ object Probe {
         }
         res.metrics.foreach(m => println(s"[probe] superstep ${m.iteration}: ${m.wallMs}ms"))
 
+      case "ab_copurchase" =>
+        val l = graft.queries.GraftQueries.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).localCheckpoint(true)
+        println(s"[probe] lineitem=${l.count()}")
+        def selfJoin(): Long =
+          l.as("a").join(l.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+            .distinct().count()
+        def pairs(): Long =
+          l.groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+            .select(explode(expr(
+              "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x as src, y as dst))))")).as("p"))
+            .select(col("p.src"), col("p.dst")).distinct().count()
+        (1 to 3).foreach { r =>
+          t(s"self-join r$r") { println("[probe] n=" + selfJoin()) }
+          t(s"groupBy-pairs r$r") { println("[probe] n=" + pairs()) }
+        }
+
       case "copurchase" =>
         t("copurchase self-join count") {
           println("[probe] n=" + graft.queries.GraftQueries.copurchaseEdges(spark, sfDir).count())
