@@ -77,7 +77,13 @@ final class ConnectedComponents(maxIter: Int = 50,
       .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")
       .persist()
-    und.count()
+    // hint joins shuffle_hash only past a size floor (opt round 6): on a
+    // fixture-scale graph the forced hint blocks AQE's broadcast choice and
+    // costs ~12 needless small shuffles per run; on a big graph it stops
+    // SMJ re-sorting the edge table every superstep. The count is free —
+    // it materializes the persist either way.
+    val bigGraph = und.count() > 100000L
+    def sh(df: DataFrame): DataFrame = if (bigGraph) df.hint("shuffle_hash") else df
 
     var state = init.getOrElse(vertices.select(col("id")).distinct()
       .withColumn("label", col("id"))).localCheckpoint(true).persist()
@@ -93,9 +99,9 @@ final class ConnectedComponents(maxIter: Int = 50,
       // (1) neighbor min: for each dst, min over labels of its in-neighbors.
       // shuffle-hash (opt round 6, guide §3.1): state fits per-partition
       // hash maps; SMJ would re-sort the big und side every superstep.
-      val nbrMin = und.join(state.hint("shuffle_hash"), und("src") === state("id"))
+      val nbrMin = und.join(sh(state), und("src") === state("id"))
         .groupBy(und("dst").as("id")).agg(min(col("label")).as("nbrMin"))
-      val cand = state.join(nbrMin.hint("shuffle_hash"), Seq("id"), "left_outer")
+      val cand = state.join(sh(nbrMin), Seq("id"), "left_outer")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("cand"))
       // (2) pointer jump: label(label(v)) — compresses label chains. Probe
@@ -108,7 +114,7 @@ final class ConnectedComponents(maxIter: Int = 50,
       // small/mid graphs pay zero probes, the 100 TB regime still probes
       val concentrated = rowsPrev > hotLabelThreshold && approxLabels < rowsPrev / 4
       def plainJump(): DataFrame =
-        cand.join(ptr.hint("shuffle_hash"), cand("label") === ptr("lid"), "left_outer")
+        cand.join(sh(ptr), cand("label") === ptr("lid"), "left_outer")
           .select(col("id"), col("label"),
             least(col("cand"), coalesce(col("plabel"), col("cand"))).as("newLabel"))
       // hot labels by algebraic count (partial agg absorbs the hot key);

@@ -66,7 +66,8 @@ object CsrPageRank {
   /** One-time build: index vertices, pack edges into blocks. Three shuffles
     * total (vertex indexing, edge placement, block packing) — amortized over
     * every subsequent superstep. */
-  def build(spark: SparkSession, edges: DataFrame, vertices: DataFrame): Blocks = {
+  def build(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+            blockPOverride: Option[Int] = None): Blocks = {
     import spark.implicits._
     val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -82,7 +83,13 @@ object CsrPageRank {
     // unchanged: block count only regroups the float accumulation, and the
     // 8-decimal rounding contract already absorbs a completely different
     // summation order (the DuckDB oracle's).
-    val p = math.max(1, math.min(maxP, ((nVerts + 65535) / 65536).toInt))
+    // divisor tuned by A/B at sf0.1 (587k-edge procurement graph): P=4 beat
+    // both P=32 (2× slower: near-empty per-superstep shuffle blocks) and
+    // P=1 (loses all superstep parallelism) — ~4k vertices/block keeps a
+    // few busy blocks on small graphs and the maxP cap binds for anything
+    // ≥ 131k vertices, reproducing the old behavior at scale
+    val p = blockPOverride.getOrElse(
+      math.max(1, math.min(maxP, ((nVerts + 4095) / 4096).toInt)))
 
     // (id, pid, idx): dense index within block, ordered by id for determinism
     val w = org.apache.spark.sql.expressions.Window

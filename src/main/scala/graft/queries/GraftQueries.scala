@@ -399,7 +399,7 @@ object GraftQueries {
 
     // --- text analysis (training-data pipeline) ---
     "q_doc_tokens" -> ((s, d) =>
-      spreadTable(s, d, "documents", "doc_id").select(col("doc_id"),
+      table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")),
@@ -417,7 +417,7 @@ object GraftQueries {
           col("pred_lang"))
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
-      spreadTable(s, d, "documents", "doc_id").select(col("doc_id"),
+      table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
 
     // --- similarity search ---

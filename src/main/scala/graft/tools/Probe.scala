@@ -279,6 +279,60 @@ object Probe {
             .get.head().getLong(0))
         }
 
+      case "csr_parity" =>
+        // q_pagerank_csr (packed loop, adaptive P) vs q_pagerank (Dataset
+        // join loop) at this SF: both share one DuckDB oracle; rounded-8
+        // outputs must agree exactly
+        val a = graft.queries.GraftQueries.queries("q_pagerank_csr")(spark, sfDir)
+          .select(col("id"), col("pr").as("pa")).localCheckpoint(true)
+        val b = graft.queries.GraftQueries.queries("q_pagerank")(spark, sfDir)
+          .select(col("id"), col("pr").as("pb")).localCheckpoint(true)
+        val joined = a.join(b, Seq("id"), "full_outer")
+        val bad = joined.where(col("pa").isNull || col("pb").isNull ||
+          col("pa") =!= col("pb")).count()
+        println(s"[probe] rows=${a.count()}/${b.count()} mismatches=$bad")
+        require(bad == 0, "csr/dataset pagerank parity violated")
+
+      case "ab_pages" =>
+        import graft.graph.GraphBuilder
+        import graft.algo.{ConnectedComponents, TriangleCount}
+        def current(): Unit = {
+          graft.queries.GraftQueries.queries("q_pages_stats")(spark, sfDir).count(); ()
+        }
+        def sequential(): Unit = {
+          import spark.implicits._
+          val pages = spark.createDataset(graft.pages.PagesFixture.generate(20, 50))
+          val (v, e) = GraphBuilder.buildVerified(spark, pages)
+          val vDF = v.toDF().localCheckpoint(true)
+          val eDF = e.toDF().localCheckpoint(true)
+          val r = (vDF.count(), eDF.count(),
+            new ConnectedComponents(maxIter = 60).run(spark, eDF, vDF)
+              .state.select("label").distinct().count(),
+            TriangleCount.countTriangles(spark, eDF).head().getLong(0),
+            vDF.join(eDF.select(col("src").as("id")), Seq("id"), "left_anti").count())
+          println(s"[probe] seq=$r")
+        }
+        (1 to 3).foreach { r =>
+          t(s"pages current(concurrent) r$r") { current() }
+          t(s"pages sequential r$r") { sequential() }
+        }
+
+      case "ab_csr" =>
+        val e = graft.queries.GraftQueries.procurementEdges(spark, sfDir).localCheckpoint(true)
+        val verts = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+        println(s"[probe] edges=${e.count()} verts=${verts.count()}")
+        def full(ovr: Option[Int]): Long = {
+          val blocks = graft.algo.CsrPageRank.build(spark, e, verts, ovr)
+          val (state, _, _) = graft.algo.CsrPageRank.runPacked(spark, blocks, tol = 0.0, maxIter = 10)
+          graft.algo.CsrPageRank.toRows(spark, state, blocks.vertsOrFail).count()
+        }
+        (1 to 3).foreach { r =>
+          t(s"csr P=32 r$r") { println("[probe] n=" + full(Some(32))) }
+          t(s"csr P=adaptive r$r") { println("[probe] n=" + full(None)) }
+          t(s"csr P=4 r$r") { println("[probe] n=" + full(Some(4))) }
+        }
+
       case "csr" =>
         val e = t("procurement edges") {
           graft.queries.GraftQueries.procurementEdges(spark, sfDir).localCheckpoint(true)
