@@ -32,15 +32,6 @@ object GraftQueries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `table` spread over the session's parallelism (opt round 6): a compact
-    * table arrives as ONE parquet split, serializing every per-row regexp/
-    * hash pass into a single task; the hash repartition costs one tiny
-    * exchange and is deterministic under retry. Values unchanged. */
-  private def spreadTable(spark: SparkSession, dir: String, name: String,
-                          byCol: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    table(spark, dir, name).repartition(parts, col(byCol))
-  }
 
   /** Train every data-dependent oracle artifact for `dir` (currently: the
     * IVF quantizer) so oracleSql emits literals consistent with what the
@@ -404,13 +395,13 @@ object GraftQueries {
         TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")),
     "q_doc_quality" -> ((s, d) =>
-      TextAnalysis.qualityColumns(spreadTable(s, d, "documents", "doc_id"))
+      TextAnalysis.qualityColumns(table(s, d, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("punct_cnt").cast("long").as("punct_cnt"),
           col("alpha_ratio"), col("avg_token_len"))
         .orderBy("doc_id")),
     "q_langid" -> ((s, d) =>
-      TextAnalysis.langIdColumns(spreadTable(s, d, "documents", "doc_id"))
+      TextAnalysis.langIdColumns(table(s, d, "documents"))
         .select(col("doc_id"), col("s_de").cast("long").as("s_de"),
           col("s_en").cast("long").as("s_en"), col("s_es").cast("long").as("s_es"),
           col("s_fr").cast("long").as("s_fr"), col("s_zh").cast("long").as("s_zh"),
